@@ -1,0 +1,174 @@
+"""Configuration system.
+
+Mirrors the reference's conf/mconf split (training-run params vs
+model+physics params nested under ``modelParam``,
+ref: pytorch/trainConfig.yaml:54, pytorch/fluid_net_train.py:68-97) with the
+same key names so existing YAML files work, but materialises the physics
+subset into a hashable, jit-static ``SimConfig`` dataclass.
+"""
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Physics/step parameters — static under jit (hashable)."""
+    dt: float = 0.1
+    maccormack_strength: float = 0.6
+    sample_outside_fluid: bool = False
+    buoyancy_scale: float = 0.0
+    gravity_scale: float = 0.0
+    gravity_vec: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    operating_density: float = 0.0
+    viscosity: float = 0.0
+    correct_scalar: bool = False
+    p_tol: float = 0.0
+    jacobi_iter: int = 34
+    periodic_x: bool = False
+    periodic_y: bool = False
+    advection_method: str = "maccormackFluidNet"
+    sim_method: str = "jacobi"  # 'jacobi' | 'convnet'
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture parameters (ref: trainConfig.yaml:55-95)."""
+    model: str = "FluidNet"  # 'FluidNet' | 'ScaleNet'
+    input_div: bool = True
+    input_p_div: bool = False
+    input_u_div: bool = False
+    normalize_input: bool = True
+    normalize_input_chan: str = "UDiv"
+    normalize_input_threshold: float = 1e-5
+    dropout: bool = False
+
+    @property
+    def in_dims(self) -> int:
+        n = 1  # occupancy is always an input
+        if self.input_p_div:
+            n += 1
+        elif self.input_u_div:
+            n += 2
+        elif self.input_div:
+            n += 1
+        return n
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop parameters (ref: trainConfig.yaml:49-95)."""
+    batch_size: int = 64
+    max_epochs: int = 400
+    lr: float = 5e-5
+    p_l2_lambda: float = 0.0
+    div_l2_lambda: float = 1.0
+    p_l1_lambda: float = 0.0
+    div_l1_lambda: float = 0.0
+    div_lt_lambda: float = 1.0
+    lt_num_steps: Tuple[int, int] = (4, 16)
+    lt_probability: float = 0.9
+    train_buoyancy_scale: float = 2.0
+    train_buoyancy_prob: float = 0.3
+    train_gravity_scale: float = 0.0
+    train_gravity_prob: float = 0.0
+    time_scale_sigma: float = 1.0
+    # plateau scheduler (ref: fluid_net_train.py:206)
+    plateau_factor: float = 0.6
+    plateau_patience: int = 10
+    plateau_threshold: float = 3e-4
+
+
+def _g(d: Dict[str, Any], key: str, default):
+    return d[key] if key in d and d[key] is not None else default
+
+
+def sim_config_from_mconf(mconf: Dict[str, Any]) -> SimConfig:
+    """Build a SimConfig from a reference-convention mconf dict."""
+    gv = _g(mconf, "gravityVec", {"x": 0.0, "y": 0.0, "z": 0.0})
+    return SimConfig(
+        dt=float(_g(mconf, "dt", 0.1)),
+        maccormack_strength=float(_g(mconf, "maccormackStrength", 0.6)),
+        sample_outside_fluid=bool(_g(mconf, "sampleOutsideFluid", False)),
+        buoyancy_scale=float(_g(mconf, "buoyancyScale", 0.0)),
+        gravity_scale=float(_g(mconf, "gravityScale", 0.0)),
+        gravity_vec=(float(gv["x"]), float(gv["y"]), float(gv["z"])),
+        operating_density=float(_g(mconf, "operatingDensity", 0.0)),
+        viscosity=float(_g(mconf, "viscosity", 0.0)),
+        correct_scalar=bool(_g(mconf, "correctScalar", False)),
+        p_tol=float(_g(mconf, "pTol", 0.0)),
+        jacobi_iter=int(_g(mconf, "jacobiIter", 34)),
+        periodic_x=bool(_g(mconf, "periodic-x", False)),
+        periodic_y=bool(_g(mconf, "periodic-y", False)),
+        sim_method=str(_g(mconf, "simMethod", "jacobi")),
+    )
+
+
+def model_config_from_mconf(mconf: Dict[str, Any]) -> ModelConfig:
+    ic = _g(mconf, "inputChannels", {})
+    return ModelConfig(
+        model=str(_g(mconf, "model", "FluidNet")),
+        input_div=bool(_g(ic, "div", True)),
+        input_p_div=bool(_g(ic, "pDiv", False)),
+        input_u_div=bool(_g(ic, "UDiv", False)),
+        normalize_input=bool(_g(mconf, "normalizeInput", True)),
+        normalize_input_chan=str(_g(mconf, "normalizeInputChan", "UDiv")),
+        normalize_input_threshold=float(
+            _g(mconf, "normalizeInputThreshold", 1e-5)
+        ),
+    )
+
+
+def train_config_from_yaml(conf: Dict[str, Any]) -> TrainConfig:
+    m = _g(conf, "modelParam", {})
+    lt = _g(m, "longTermDivNumSteps", [4, 16]) or [4, 16]
+    return TrainConfig(
+        batch_size=int(_g(conf, "batchSize", 64)),
+        max_epochs=int(_g(conf, "maxEpochs", 400)),
+        lr=float(_g(m, "lr", 5e-5)),
+        p_l2_lambda=float(_g(m, "pL2Lambda", 0.0)),
+        div_l2_lambda=float(_g(m, "divL2Lambda", 1.0)),
+        p_l1_lambda=float(_g(m, "pL1Lambda", 0.0)),
+        div_l1_lambda=float(_g(m, "divL1Lambda", 0.0)),
+        div_lt_lambda=float(_g(m, "divLongTermLambda", 1.0)),
+        lt_num_steps=(int(lt[0]), int(lt[-1])),
+        lt_probability=float(_g(m, "longTermDivProbability", 0.9)),
+        train_buoyancy_scale=float(_g(m, "trainBuoyancyScale", 2.0)),
+        train_buoyancy_prob=float(_g(m, "trainBuoyancyProb", 0.3)),
+        train_gravity_scale=float(_g(m, "trainGravityScale", 0.0)),
+        train_gravity_prob=float(_g(m, "trainGravityProb", 0.0)),
+        time_scale_sigma=float(_g(m, "timeScaleSigma", 1.0)),
+    )
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def merge_cli_overrides(conf: Dict[str, Any], overrides: Dict[str, Any]):
+    """CLI overrides YAML, like the reference (fluid_net_train.py:72-97)."""
+    out = dict(conf)
+    for k, v in overrides.items():
+        if v is not None:
+            out[k] = v
+    return out
+
+
+def save_config(conf: Dict[str, Any], path: str):
+    """Persist config as JSON (replaces the reference's pickled .pth dicts,
+    ref: fluid_net_train.py:557-559)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(conf, f, indent=2, default=str)
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)

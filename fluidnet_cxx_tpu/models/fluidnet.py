@@ -1,0 +1,163 @@
+"""FluidNet CNN: the learned pressure projection.
+
+Flax re-implementation of the reference architecture
+(ref: pytorch/lib/model.py): input assembly from the divergent state,
+std-based input normalisation (_ScaleNet), a 3-bank multi-resolution conv
+tower, and the in-model projection (velocityUpdate + setWallBcs) that keeps
+the whole step differentiable.
+
+Convolutions run in NHWC (TPU-preferred); the state API stays (b, 2, h, w) /
+(b, h, w) and is converted at the model boundary.
+"""
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.stencils import (
+    flags_to_occupancy,
+    set_wall_bcs,
+    velocity_divergence,
+    velocity_update,
+)
+from .multi_scale import MultiScaleNet
+
+
+def scale_std(x, threshold: float):
+    """Per-sample input scale: std over all elements (Bessel-corrected),
+    clamped below at ``threshold`` (ref: model.py:8-23 _ScaleNet)."""
+    b = x.shape[0]
+    y = x.reshape(b, -1)
+    std = jnp.std(y, axis=1, ddof=1)
+    return jnp.clip(std, threshold, None)
+
+
+def assemble_inputs(cfg: ModelConfig, p, U, flags, density):
+    """Build the CNN input stack (NHWC) and the normalisation scale.
+
+    Channel selection follows the reference's priority chain
+    (ref: model.py:146-168): pDiv OR UDiv OR div, then occupancy. The scale
+    divides the selected physical channels (ref: model.py:129-144).
+    """
+    div = velocity_divergence(U, flags)
+
+    if cfg.normalize_input:
+        chan = {
+            "pDiv": p,
+            "UDiv": U,
+            "div": div,
+        }[cfg.normalize_input_chan]
+        s = scale_std(chan, cfg.normalize_input_threshold)  # (b,)
+    else:
+        s = jnp.ones((p.shape[0],), jnp.float32)
+    s3 = s[:, None, None]
+
+    feats = []
+    if cfg.input_p_div:
+        feats.append(p / s3)
+    elif cfg.input_u_div:
+        feats.append(U[:, 0] / s3)
+        feats.append(U[:, 1] / s3)
+    elif cfg.input_div:
+        feats.append(div / s3)
+    feats.append(flags_to_occupancy(flags))
+    x = jnp.stack(feats, axis=-1)  # NHWC
+    return x, s
+
+
+class FluidNetTower(nn.Module):
+    """The 3-bank FluidNet conv tower (ref: model.py:56-209).
+
+    conv3x3 -> ReLU, then three banks at scales {1, 1/2, 1/4} via average
+    pooling, a shared 2x conv3x3+ReLU block, nearest-neighbour upsample and
+    sum, then 1x1 convs down to a single pressure channel.
+
+    The reference applies its ``conv2`` twice with the same weights
+    (model.py:204-205, a known quirk); we apply conv2 then conv3 once each.
+    """
+    dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        conv1 = nn.Conv(16, (3, 3), padding="SAME", name="conv1")
+        x = nn.relu(conv1(x))
+
+        # Shared hidden block applied to every bank (weight sharing, like the
+        # reference's single convBank module).
+        block = nn.Sequential([
+            nn.Conv(16, (3, 3), padding="SAME", name="bank_conv1"),
+            nn.relu,
+            nn.Conv(16, (3, 3), padding="SAME", name="bank_conv2"),
+            nn.relu,
+        ])
+
+        x1 = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x2 = nn.avg_pool(x, (4, 4), strides=(4, 4))
+
+        x0 = block(x)
+        x1 = block(x1)
+        x2 = block(x2)
+
+        # Nearest-neighbour upsample (torch F.interpolate default mode).
+        def up(a, k):
+            return jnp.repeat(jnp.repeat(a, k, axis=1), k, axis=2)
+
+        x = x0 + up(x1, 2) + up(x2, 4)
+        x = nn.relu(nn.Conv(16, (1, 1), name="conv2")(x))
+        x = nn.relu(nn.Conv(8, (1, 1), name="conv3")(x))
+        p = nn.Conv(1, (1, 1), name="convOut")(x)
+        return p
+
+
+class FluidNet(nn.Module):
+    """Full learned projection: assemble -> CNN -> velocityUpdate ->
+    un-scale -> setWallBcs (ref: model.py:76-227).
+
+    ``__call__(p, U, flags, density) -> (p_new, U_new)`` operating on the
+    divergent state; the projection lives INSIDE the model so training
+    differentiates through it.
+    """
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, p, U, flags, density, deterministic: bool = True):
+        x, s = assemble_inputs(self.cfg, p, U, flags, density)
+        if self.cfg.model == "ScaleNet":
+            p_hat = MultiScaleNet(dropout=self.cfg.dropout)(
+                x, deterministic=deterministic
+            )
+        else:
+            p_hat = FluidNetTower(dropout=self.cfg.dropout)(
+                x, deterministic=deterministic
+            )
+        p_hat = p_hat[..., 0]  # NHWC -> (b, h, w)
+
+        # In-model projection on the NORMALISED fields (ref: model.py:213-218
+        # updates the scaled UDiv), then undo the scale (ref: model.py:221-223).
+        s3 = s[:, None, None]
+        U_scaled = U / s3[:, None]
+        U_new = velocity_update(p_hat, U_scaled, flags)
+        p_out = p_hat * s3
+        U_new = U_new * s3[:, None]
+        U_new = set_wall_bcs(U_new, flags)
+        return p_out, U_new
+
+
+def make_project_fn(model: FluidNet, params, deterministic: bool = True):
+    """Bind params into a ``project_fn(p, U, flags, density) -> (p, U)`` for
+    ``simulate_step(cfg, state, project_fn)``."""
+    def project(p, U, flags, density):
+        return model.apply(
+            params, p, U, flags, density, deterministic=deterministic
+        )
+    return project
+
+
+def init_params(model: FluidNet, key, h: int = 128, w: int = 128):
+    p = jnp.zeros((1, h, w), jnp.float32)
+    U = jnp.zeros((1, 2, h, w), jnp.float32)
+    flags = jnp.ones((1, h, w), jnp.int32)
+    rho = jnp.zeros((1, h, w), jnp.float32)
+    return model.init(key, p, U, flags, rho)

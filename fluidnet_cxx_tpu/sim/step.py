@@ -1,0 +1,152 @@
+"""The single simulation time-step (functional twin of the reference's
+``lib.simulate``, ref: pytorch/lib/simulate.py:28-171).
+
+Order of operations matches the reference exactly:
+viscosity -> advect density (MacCormack) -> optional scalar correction ->
+advect velocity -> inflow/const BCs -> buoyancy -> gravity -> wall BCs
+(with periodic overrides) -> pressure projection (convnet or Jacobi) ->
+wall BCs -> const BCs.
+
+The whole step is pure and jittable: ``state' = simulate_step(cfg, state)``.
+For training-time randomised physics (ref: fluid_net_train.py:296-346) pass a
+``DynParams`` pytree of traced scalars; source terms are then applied
+unconditionally (a zero scale is a numerical no-op).
+"""
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ops.advection import advect_scalar, advect_velocity
+from ..ops.jacobi import solve_jacobi, solve_jacobi_fixed
+from ..ops.source_terms import (
+    add_buoyancy,
+    add_gravity,
+    add_viscosity,
+    correct_scalar,
+)
+from ..ops.stencils import (
+    set_wall_bcs,
+    set_wall_bcs_stick,
+    velocity_divergence,
+    velocity_update,
+)
+from ..state import SimState
+
+# project_fn(p, U, flags, density) -> (p, U); used when sim_method='convnet'.
+ProjectFn = Callable[..., tuple]
+
+
+class DynParams(NamedTuple):
+    """Traced per-step physics overrides (for the long-term-loss rollout)."""
+    dt: jnp.ndarray
+    buoyancy_scale: jnp.ndarray
+    gravity_scale: jnp.ndarray
+    gravity_vec: jnp.ndarray  # (3,)
+
+
+def apply_const_vals(state: SimState, U, density):
+    """Re-impose inlet/constant BCs: x = x * inv_mask + bc
+    (ref: pytorch/lib/simulate.py:4-26)."""
+    if state.U_bc is not None:
+        U = U * state.U_bc_inv_mask + state.U_bc
+    if state.density_bc is not None:
+        density = density * state.density_bc_inv_mask + state.density_bc
+    return U, density
+
+
+def _wall_bcs(cfg: SimConfig, state: SimState, U):
+    """Wall BC block, incl. the periodic overrides used by Rayleigh-Taylor
+    (ref: pytorch/lib/simulate.py:120-130,156-166)."""
+    stick = state.flags_stick is not None
+    if cfg.sim_method != "convnet":
+        U_before = U
+        U = set_wall_bcs(U, state.flags)
+        if cfg.periodic_x:
+            U = U.at[:, 1, :, 1].set(U_before[:, 1, :, -1])
+        if cfg.periodic_y:
+            U = U.at[:, 0, 1, :].set(U_before[:, 0, -1, :])
+    elif stick:
+        U = set_wall_bcs_stick(U, state.flags, state.flags_stick)
+    return U
+
+
+def simulate_step(
+    cfg: SimConfig,
+    state: SimState,
+    project_fn: Optional[ProjectFn] = None,
+    output_div: bool = False,
+    dyn: Optional[DynParams] = None,
+) -> SimState:
+    """Advance the simulation by one dt. Returns the new state.
+
+    With ``output_div=True`` the step stops before the projection and returns
+    the divergent velocity/advected density (used by the long-term divergence
+    loss, ref: pytorch/lib/simulate.py:117-118).
+    """
+    flags = state.flags
+    U, p, rho = state.U, state.p, state.density
+    dt = cfg.dt if dyn is None else dyn.dt
+
+    # Viscosity: the viscous field is advected by the (non-divergent) U from
+    # the previous step (ref: simulate.py:66-93).
+    if cfg.viscosity > 0:
+        orig = add_viscosity(dt, U, flags, cfg.viscosity)
+    else:
+        orig = U
+
+    rho = advect_scalar(
+        dt, rho, U, flags,
+        method=cfg.advection_method,
+        bnd=1,
+        sample_outside_fluid=cfg.sample_outside_fluid,
+        maccormack_strength=cfg.maccormack_strength,
+    )
+    if cfg.correct_scalar:
+        div = velocity_divergence(U, flags)
+        rho = correct_scalar(dt, rho, div, flags)
+
+    U = advect_velocity(
+        dt, orig, U, flags,
+        method=cfg.advection_method,
+        bnd=1,
+        maccormack_strength=cfg.maccormack_strength,
+    )
+
+    U, rho = apply_const_vals(state, U, rho)
+
+    gvec = jnp.asarray(cfg.gravity_vec, jnp.float32)
+    if dyn is not None:
+        g_buoy = dyn.gravity_vec * (-dyn.buoyancy_scale)
+        g_grav = dyn.gravity_vec * (-dyn.gravity_scale)
+        U = add_buoyancy(U, flags, rho, g_buoy, cfg.operating_density, dt)
+        U = add_gravity(U, flags, g_grav, dt)
+    else:
+        if cfg.buoyancy_scale > 0:
+            U = add_buoyancy(
+                U, flags, rho, gvec * (-cfg.buoyancy_scale),
+                cfg.operating_density, dt,
+            )
+        if cfg.gravity_scale > 0:
+            U = add_gravity(U, flags, gvec * (-cfg.gravity_scale), dt)
+
+    if output_div:
+        return state._replace(U=U, density=rho)
+
+    U = _wall_bcs(cfg, state, U)
+    U, rho = apply_const_vals(state, U, rho)
+
+    if cfg.sim_method == "convnet":
+        assert project_fn is not None, "convnet projection needs project_fn"
+        p, U = project_fn(p, U, flags, rho)
+    else:
+        div = velocity_divergence(U, flags)
+        if cfg.p_tol > 0:
+            p, _ = solve_jacobi(flags, div, cfg.p_tol, cfg.jacobi_iter)
+        else:
+            p = solve_jacobi_fixed(flags, div, cfg.jacobi_iter)
+        U = velocity_update(p, U, flags)
+
+    U = _wall_bcs(cfg, state, U)
+    U, rho = apply_const_vals(state, U, rho)
+    return state._replace(p=p, U=U, density=rho)
