@@ -1,0 +1,128 @@
+"""Headline benchmark: 2-D plume at 512x512 with CNN (ScaleNet) projection.
+
+Prints ONE JSON line:
+  {"metric": "plume_512_cnn_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": R}
+
+``vs_baseline`` is measured steps/s divided by the driver target of
+50x a CPU reference (BASELINE.json north star). The CPU reference proxy is
+this framework's own step on the host CPU backend (the PyTorch reference
+cannot run here — it is CUDA-only at 512^2); override with env
+BENCH_CPU_REF_SPS if a measured torch number is available.
+
+Extra diagnostics (128^2, Jacobi variants, divergence residual) go to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(res, sim_method="convnet", jacobi_iter=200):
+    from fluidnet_cxx_tpu.config import ModelConfig
+    from fluidnet_cxx_tpu.models import FluidNet, init_params, make_project_fn
+    from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
+
+    cfg = plume_config(
+        sim_method=sim_method,
+        jacobi_iter=jacobi_iter,
+        dt=0.1,
+    )
+    # plumeConfig.yaml scene: injectionDensity .1, velocity 2 (scaled by
+    # res/128 like solver_cpp/simulate/simulate.cpp:253), radius .145.
+    state = create_plume_scene(
+        res, res, density_val=0.1, u_scale=2.0 * res / 128.0, rad=0.145
+    )
+    if sim_method == "convnet":
+        model = FluidNet(ModelConfig(model="ScaleNet"))
+        params = init_params(model, jax.random.PRNGKey(0), res, res)
+        project = make_project_fn(model, params)
+    else:
+        project = None
+
+    def step(s):
+        return simulate_step(cfg, s, project_fn=project)
+
+    return step, state
+
+
+def time_steps(step, state, n_steps, warmup=3):
+    step = jax.jit(step, donate_argnums=0)
+    for _ in range(warmup):
+        state = step(state)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return n_steps / dt, state
+
+
+def main():
+    res = int(os.environ.get("BENCH_RES", "512"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | benchmarking plume {res}^2")
+
+    step, state0 = build(res, "convnet")
+    sps, state = time_steps(step, state0, n_steps)
+    log(f"CNN projection: {sps:.2f} steps/s at {res}^2")
+
+    from fluidnet_cxx_tpu import ops
+
+    div = jnp.abs(ops.velocity_divergence(state.U, state.flags)).max()
+    log(f"max |div| after CNN step (untrained net): {float(div):.4f}")
+
+    try:
+        for ji in (28, 100, 200):
+            stepj, statej = build(res, "jacobi", jacobi_iter=ji)
+            spsj, statej = time_steps(stepj, statej, max(n_steps // 2, 5))
+            divj = jnp.abs(
+                ops.velocity_divergence(statej.U, statej.flags)
+            ).max()
+            log(
+                f"Jacobi-{ji}: {spsj:.2f} steps/s at {res}^2, "
+                f"max|div|={float(divj):.5f}"
+            )
+    except Exception as e:  # diagnostics only
+        log("jacobi diagnostics failed:", e)
+
+    # CPU reference proxy for vs_baseline.
+    cpu_sps = os.environ.get("BENCH_CPU_REF_SPS")
+    if cpu_sps is not None:
+        cpu_sps = float(cpu_sps)
+    else:
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                stepc, statec = build(res, "convnet")
+                cpu_sps, _ = time_steps(stepc, statec, 3, warmup=1)
+            log(f"CPU proxy: {cpu_sps:.3f} steps/s")
+        except Exception as e:
+            log("CPU proxy failed:", e)
+            cpu_sps = None
+
+    vs = (sps / (50.0 * cpu_sps)) if cpu_sps else None
+    print(
+        json.dumps(
+            {
+                "metric": f"plume_{res}_cnn_steps_per_sec",
+                "value": round(sps, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Training driver: jitted train step with the long-term divergence rollout.
+
+Reproduces the reference's training semantics
+(ref: pytorch/fluid_net_train.py:212-470):
+* short-term losses on the model output for a divergent input frame,
+* long-term loss: roll the simulator forward n steps (n = lt_num_steps[0]
+  w.p. lt_probability else lt_num_steps[1]) under stop_gradient with
+  randomised physics (dt scale 0.2028+|N(0,1)|*sigma, random buoyancy/gravity
+  scale and cardinal direction), then one differentiable projection and
+  MSE(div, 0).
+
+Note: the reference's rollout ``batch_dict`` carries no density field, so the
+randomised buoyancy/gravity never physically act there
+(ref: fluid_net_train.py:362-365 vs lib/simulate.py:98-115 — the source terms
+sit inside ``if 'density' in batch_dict``). We keep equivalent behaviour by
+rolling a zero density field (buoyancy on zeros with rho*=0 is a no-op and we
+zero the rollout gravity scale), while the dt randomisation — the part that
+does act — is reproduced exactly.
+
+Optimiser: Adam + reduce-on-plateau LR schedule (factor 0.6, patience 10,
+rel threshold 3e-4; ref: fluid_net_train.py:197,206).
+"""
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from optax.contrib import reduce_on_plateau
+
+from ..config import ModelConfig, SimConfig, TrainConfig
+from ..models.fluidnet import FluidNet
+from ..sim.step import DynParams, simulate_step
+from ..state import SimState
+from .losses import LossTerms, long_term_loss, short_term_losses
+
+
+class Batch(NamedTuple):
+    """One training batch (divergent inputs + projected targets), matching
+    the reference's channel layout (ref: fluid_net_train.py:249-259)."""
+    p_div: jnp.ndarray      # (b, h, w)
+    U_div: jnp.ndarray      # (b, 2, h, w)
+    flags: jnp.ndarray      # (b, h, w) int32
+    density_div: jnp.ndarray
+    p_target: jnp.ndarray
+    U_target: jnp.ndarray
+    density_target: jnp.ndarray
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.chain(
+        optax.adam(cfg.lr),
+        reduce_on_plateau(
+            factor=cfg.plateau_factor,
+            patience=cfg.plateau_patience,
+            rtol=cfg.plateau_threshold,
+            atol=0.0,
+        ),
+    )
+
+
+def _sample_dyn(key, sim_cfg: SimConfig, cfg: TrainConfig):
+    """Randomised rollout physics (ref: fluid_net_train.py:296-346)."""
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    b_scale = jnp.where(
+        jax.random.uniform(k1) < cfg.train_buoyancy_prob,
+        cfg.train_buoyancy_scale + jax.random.normal(k2),
+        0.0,
+    )
+    # The reference's rollout applies no gravity/buoyancy physically (see
+    # module docstring); keep gravity at zero, like its effective behaviour.
+    g_scale = jnp.zeros(())
+
+    # Random cardinal direction (+/- x or y).
+    card = jax.random.randint(k3, (), 0, 2)
+    updown = jax.random.randint(k4, (), 0, 2) * 2 - 1
+    gvec = jnp.where(
+        card == 0,
+        jnp.array([1.0, 0.0, 0.0]),
+        jnp.array([0.0, 1.0, 0.0]),
+    ) * updown.astype(jnp.float32)
+
+    dt = jnp.asarray(sim_cfg.dt, jnp.float32)
+    if cfg.time_scale_sigma > 0:
+        # mean(|N(0,1)|) ~= 0.7972, hence the 0.2028 offset
+        # (ref: fluid_net_train.py:332-339).
+        scale = 0.2028 + jnp.abs(jax.random.normal(k5)) * cfg.time_scale_sigma
+        dt = dt * scale
+
+    n_steps = jnp.where(
+        jax.random.uniform(k6) < cfg.lt_probability,
+        cfg.lt_num_steps[0],
+        cfg.lt_num_steps[1],
+    )
+    return DynParams(dt, b_scale, g_scale, gvec), n_steps
+
+
+def make_loss_fn(
+    model: FluidNet,
+    sim_cfg: SimConfig,
+    cfg: TrainConfig,
+    deterministic: bool = True,
+):
+    rollout_cfg = sim_cfg.replace(sim_method="convnet")
+    max_steps = max(cfg.lt_num_steps)
+
+    def loss_fn(params, batch: Batch, key) -> LossTerms:
+        p_out, U_out = model.apply(
+            params, batch.p_div, batch.U_div, batch.flags, batch.density_div,
+            deterministic=deterministic,
+        )
+        p_l2, div_l2, p_l1, div_l1 = short_term_losses(
+            cfg, p_out, U_out, batch.flags, batch.p_target
+        )
+        total = p_l2 + div_l2 + p_l1 + div_l1
+
+        div_lt = jnp.zeros(())
+        if cfg.div_lt_lambda > 0:
+            dyn, n_steps = _sample_dyn(key, sim_cfg, cfg)
+            project = lambda p, U, fl, rho: model.apply(
+                params, p, U, fl, rho, deterministic=deterministic
+            )
+            state0 = SimState(
+                p=jax.lax.stop_gradient(p_out),
+                U=jax.lax.stop_gradient(U_out),
+                flags=batch.flags,
+                density=jnp.zeros_like(p_out),
+            )
+
+            def body(state, i):
+                nxt = simulate_step(
+                    rollout_cfg, state, project_fn=project, dyn=dyn
+                )
+                # Only the first n_steps iterations advance (n is sampled
+                # per batch; masked scan keeps the trip count static).
+                state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(i < n_steps, a, b), nxt, state
+                )
+                return state, None
+
+            state_lt, _ = jax.lax.stop_gradient(
+                jax.lax.scan(
+                    body, state0, jnp.arange(max_steps), length=max_steps
+                )
+            )
+            # One differentiable projection on the rolled-out state with the
+            # base dt restored (ref: fluid_net_train.py:366-375).
+            p_lt, U_lt = model.apply(
+                params, state_lt.p, state_lt.U, batch.flags,
+                jnp.zeros_like(p_out), deterministic=deterministic,
+            )
+            div_lt = long_term_loss(cfg, U_lt, batch.flags)
+            total = total + div_lt
+
+        return total, LossTerms(total, p_l2, div_l2, p_l1, div_l1, div_lt)
+
+    return loss_fn
+
+
+def make_train_step(
+    model: FluidNet,
+    sim_cfg: SimConfig,
+    cfg: TrainConfig,
+    optimizer=None,
+):
+    """Returns ``train_step(ts: TrainState, batch, key) -> (ts, LossTerms)``
+    — pure, jittable, shardable."""
+    optimizer = optimizer or make_optimizer(cfg)
+    loss_fn = make_loss_fn(model, sim_cfg, cfg)
+
+    def train_step(ts: TrainState, batch: Batch, key):
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, batch, key
+        )
+        updates, opt_state = optimizer.update(
+            grads, ts.opt_state, ts.params, value=terms.total
+        )
+        params = optax.apply_updates(ts.params, updates)
+        return TrainState(params, opt_state, ts.step + 1), terms
+
+    def eval_step(ts: TrainState, batch: Batch, key):
+        _, terms = loss_fn(ts.params, batch, key)
+        return terms
+
+    return train_step, eval_step
+
+
+def init_train_state(model, key, cfg: TrainConfig, h=128, w=128, optimizer=None):
+    from ..models.fluidnet import init_params
+
+    params = init_params(model, key, h, w)
+    optimizer = optimizer or make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )

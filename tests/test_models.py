@@ -1,0 +1,99 @@
+"""FluidNet / MultiScaleNet: shapes, in-model projection, convnet step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import random_flags
+from fluidnet_cxx_tpu import ops
+from fluidnet_cxx_tpu.config import ModelConfig
+from fluidnet_cxx_tpu.models import FluidNet, init_params, make_project_fn
+from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
+
+H = W = 32
+
+
+def build(model_name="FluidNet", **kw):
+    cfg = ModelConfig(model=model_name, **kw)
+    model = FluidNet(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), H, W)
+    return model, params
+
+
+@pytest.fixture
+def inputs(rng):
+    flags = random_flags(rng, 2, H, W, p_obstacle=0.05)
+    p = rng.standard_normal((2, H, W)).astype(np.float32)
+    U = rng.standard_normal((2, 2, H, W)).astype(np.float32)
+    rho = rng.random((2, H, W)).astype(np.float32)
+    return p, U, flags, rho
+
+
+@pytest.mark.parametrize("name", ["FluidNet", "ScaleNet"])
+def test_forward_shapes(name, inputs):
+    p, U, flags, rho = inputs
+    model, params = build(name)
+    p_out, U_out = jax.jit(
+        lambda *a: model.apply(params, *a)
+    )(p, U, flags, rho)
+    assert p_out.shape == p.shape and U_out.shape == U.shape
+    assert np.isfinite(np.asarray(p_out)).all()
+
+
+def test_in_model_projection_consistency(inputs):
+    """The returned U must equal setWallBcs(velocityUpdate(p/s, U/s)) * s —
+    i.e. the projection really is applied inside the model
+    (ref: model.py:213-227)."""
+    p, U, flags, rho = inputs
+    model, params = build()
+    p_out, U_out = model.apply(params, p, U, flags, rho)
+    s = np.asarray(
+        jnp.clip(jnp.std(U.reshape(2, -1), axis=1, ddof=1), 1e-5, None)
+    )[:, None, None]
+    p_hat = np.asarray(p_out) / s
+    U_expect = ops.velocity_update(p_hat, U / s[:, None], flags)
+    U_expect = ops.set_wall_bcs(U_expect * s[:, None], flags)
+    np.testing.assert_allclose(
+        np.asarray(U_out), np.asarray(U_expect), atol=1e-4
+    )
+
+
+def test_gradients_flow(inputs):
+    p, U, flags, rho = inputs
+    model, params = build()
+
+    def loss(params):
+        p_out, U_out = model.apply(params, p, U, flags, rho)
+        div = ops.velocity_divergence(U_out, flags)
+        return jnp.mean(div**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in leaves)
+
+
+def test_convnet_step_runs():
+    """Full simulate_step with sim_method='convnet' (untrained net)."""
+    model, params = build()
+    cfg = plume_config(sim_method="convnet")
+    state = create_plume_scene(H, W)
+    project = make_project_fn(model, params)
+    step = jax.jit(lambda s: simulate_step(cfg, s, project_fn=project))
+    for _ in range(3):
+        state = step(state)
+    assert np.isfinite(np.asarray(state.U)).all()
+    assert np.isfinite(np.asarray(state.p)).all()
+
+
+def test_input_channel_variants(inputs):
+    p, U, flags, rho = inputs
+    for kw in (
+        dict(input_div=True, input_p_div=False, input_u_div=False),
+        dict(input_div=False, input_p_div=True, input_u_div=False,
+             normalize_input_chan="pDiv"),
+        dict(input_div=False, input_p_div=False, input_u_div=True),
+    ):
+        model, params = build("FluidNet", **kw)
+        p_out, U_out = model.apply(params, p, U, flags, rho)
+        assert np.isfinite(np.asarray(p_out)).all()

@@ -1,0 +1,112 @@
+"""Training: loss terms, LT rollout, optimizer step reduces loss on a tiny
+synthetic problem; dataset round-trip."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidnet_cxx_tpu.config import ModelConfig, SimConfig, TrainConfig
+from fluidnet_cxx_tpu.data import (
+    FluidDataset,
+    generate_batch,
+    load_manta_file,
+    sample_to_batch,
+    save_manta_file,
+    write_synthetic_dataset,
+)
+from fluidnet_cxx_tpu.models import FluidNet
+from fluidnet_cxx_tpu.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+H = W = 32
+
+
+def setup(lt_lambda=0.0):
+    model = FluidNet(ModelConfig())
+    tc = TrainConfig(
+        batch_size=4, div_lt_lambda=lt_lambda, lt_num_steps=(2, 3),
+        p_l2_lambda=0.1, lr=1e-3,
+    )
+    sc = SimConfig(dt=0.1, jacobi_iter=10)
+    opt = make_optimizer(tc)
+    ts = init_train_state(model, jax.random.PRNGKey(0), tc, H, W, opt)
+    step, ev = make_train_step(model, sc, tc, opt)
+    return model, tc, ts, jax.jit(step), jax.jit(ev)
+
+
+def test_synthetic_batch_is_projected():
+    """The generator's target must be (nearly) divergence-free — the label
+    source is the classical solver."""
+    from fluidnet_cxx_tpu import ops
+
+    b = generate_batch(jax.random.PRNGKey(1), 2, H, W, jacobi_iters=800)
+    div_in = np.abs(
+        np.asarray(ops.velocity_divergence(b.U_div, b.flags))
+    ).max()
+    div_out = np.abs(
+        np.asarray(ops.velocity_divergence(b.U_target, b.flags))
+    ).max()
+    assert div_in > 1e-2          # inputs really are divergent
+    assert div_out < div_in * 0.2  # targets are projected
+
+
+def test_train_step_reduces_divergence_loss():
+    _, _, ts, step, _ = setup(lt_lambda=0.0)
+    batch = sample_to_batch(
+        generate_batch(jax.random.PRNGKey(2), 4, H, W, jacobi_iters=300)
+    )
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(12):
+        ts, terms = step(ts, batch, jax.random.fold_in(key, i))
+        losses.append(float(terms.total))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_long_term_rollout_trains():
+    _, _, ts, step, _ = setup(lt_lambda=1.0)
+    batch = sample_to_batch(
+        generate_batch(jax.random.PRNGKey(4), 2, H, W, jacobi_iters=200)
+    )
+    ts2, terms = step(ts, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(terms.div_lt))
+    # params actually changed
+    delta = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a - b)).max(), ts.params, ts2.params
+    )
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
+
+
+def test_manta_bin_roundtrip(tmp_path, rng):
+    p = rng.standard_normal((12, 16)).astype(np.float32)
+    U = rng.standard_normal((2, 12, 16)).astype(np.float32)
+    flags = rng.integers(1, 3, (12, 16)).astype(np.int32)
+    rho = rng.random((12, 16)).astype(np.float32)
+    f = str(tmp_path / "000000.bin")
+    save_manta_file(f, p, U, flags, rho)
+    p2, U2, flags2, rho2, is3d = load_manta_file(f)
+    assert not is3d
+    np.testing.assert_array_equal(p, p2)
+    np.testing.assert_array_equal(U, U2)
+    np.testing.assert_array_equal(flags, flags2)
+    np.testing.assert_array_equal(rho, rho2)
+
+
+def test_dataset_pipeline(tmp_path):
+    root = str(tmp_path / "ds")
+    write_synthetic_dataset(
+        os.path.join(root, "tr"), n_scenes=2, steps_per_scene=3,
+        h=16, w=16, jacobi_iters=50,
+    )
+    ds = FluidDataset(root, "tr")
+    assert len(ds) == 6
+    batches = list(ds.batches(batch_size=2, seed=1))
+    assert len(batches) == 3
+    assert batches[0].U_div.shape == (2, 2, 16, 16)
+    b = sample_to_batch(batches[0])
+    assert b.flags.dtype == jnp.int32
