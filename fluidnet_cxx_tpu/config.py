@@ -32,6 +32,10 @@ class SimConfig:
     periodic_y: bool = False
     advection_method: str = "maccormackFluidNet"
     sim_method: str = "jacobi"  # 'jacobi' | 'convnet'
+    # Sampling engine: 'window' (bounded-window shifts, the TPU fast path,
+    # exact for CFL <= max_disp) or 'gather' (arbitrary displacement).
+    advection_impl: str = "window"
+    max_disp: int = 4
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -13,10 +13,17 @@ import struct
 import numpy as np
 
 
-def load_manta_file(path: str):
+def load_manta_file(path: str, use_native: bool = True):
     """Returns (p, U, flags, density, is3d) as numpy arrays without the batch
     dim: p/flags/density (nz, ny, nx) squeezed to (ny, nx) in 2-D, U
-    (2|3, ny, nx)."""
+    (2|3, ny, nx). Uses the C++ parser (native/) for 2-D files when built."""
+    if use_native:
+        from .. import native
+
+        out = native.load_manta_bin2d(path)
+        if out is not None:
+            p, U, flags, density = out
+            return p, U, flags, density, False
     with open(path, "rb") as f:
         head = struct.unpack("i" * 5, f.read(20))
         _, nx, ny, nz, is3d_i = head

@@ -71,26 +71,55 @@ def advect_scalar(
     sample_outside_fluid: bool = False,
     maccormack_strength: float = 0.75,
     line_trace: bool = True,
+    impl: str = "gather",
+    max_disp: int = 4,
 ):
     """Advect scalar ``src`` by ``U`` (ref: fluids_init.cpp:265-382).
 
     Returns the advected field; the output border ring (width ``bnd``) is
     zeroed, solid cells keep their source value, as in the reference.
+
+    ``impl='window'`` uses the bounded-window sampling engine (ops/window.py)
+    — the TPU fast path, exact for |dt*u| <= max_disp cells (displacements
+    are clamped to the window beyond that).
     """
+    from .window import (
+        clamp_bounds_scalar_window,
+        interpol_window,
+        interpol_with_fluid_window,
+        make_blocked_lookup_window,
+    )
+
     b, h, w = src.shape
     fluid = flags == FLUID
     start = _centers(b, h, w)
     border = border_mask(h, w, bnd)
+    window = impl == "window"
+    blocked_lookup = (
+        make_blocked_lookup_window(flags, max_disp) if window else None
+    )
 
     def semi_lagrange(field, sdt):
         disp = jnp.where(
             border_mask(h, w, 1)[None, None], 0.0, -sdt * get_centered(U)
         )
-        back = calc_line_trace(start, disp, flags, line_trace)
+        if window:
+            disp = jnp.clip(disp, -max_disp, max_disp)
+        back = calc_line_trace(
+            start, disp, flags, line_trace, blocked_lookup=blocked_lookup
+        )
         if sample_outside_fluid:
-            val = interpol(field, back)
+            val = (
+                interpol_window(field, back, max_disp)
+                if window
+                else interpol(field, back)
+            )
         else:
-            val = interpol_with_fluid(field, flags, back)
+            val = (
+                interpol_with_fluid_window(field, flags, back, max_disp)
+                if window
+                else interpol_with_fluid(field, flags, back)
+            )
         # Solid cells are not advected (ref: fluids_init.cpp:33-34).
         return jnp.where(fluid, val, field), back
 
@@ -112,9 +141,14 @@ def advect_scalar(
     # Forward-position clamp (ref: fluids_init.cpp:224-263): clamp the
     # corrected value to the neighbourhood extrema, reverting to the Euler
     # value when no valid neighbour exists.
-    do_clamp, minv, maxv = _clamp_bounds_scalar(
-        src, fwd_pos, flags, sample_outside_fluid
-    )
+    if window:
+        do_clamp, minv, maxv = clamp_bounds_scalar_window(
+            src, fwd_pos, flags, sample_outside_fluid, max_disp
+        )
+    else:
+        do_clamp, minv, maxv = _clamp_bounds_scalar(
+            src, fwd_pos, flags, sample_outside_fluid
+        )
     clamped = jnp.where(
         do_clamp, jnp.maximum(minv, jnp.minimum(maxv, dst)), fwd
     )
@@ -155,6 +189,8 @@ def advect_velocity(
     method: str = MACCORMACK,
     bnd: int = 1,
     maccormack_strength: float = 0.75,
+    impl: str = "gather",
+    max_disp: int = 4,
 ):
     """Advect MAC velocity ``orig`` by ``U`` (ref: fluids_init.cpp:656-807).
 
@@ -166,18 +202,26 @@ def advect_velocity(
     ret channel 0 twice (fluids_init.cpp:413-416), losing channel 1; we keep
     the intended per-channel passthrough.
     """
+    from .window import clamp_component_mac_window, interpol_window
+
     b, _, h, w = U.shape
     fluid = flags == FLUID
     start = _centers(b, h, w)
     border = border_mask(h, w, bnd)
     ring1 = border_mask(h, w, 1)[None, None]
+    window = impl == "window"
 
     mac_x = jnp.where(ring1, 0.0, get_at_mac_x(U))
     mac_y = jnp.where(ring1, 0.0, get_at_mac_y(U))
 
+    def sample(field_c, pos):
+        if window:
+            return interpol_window(field_c, pos, max_disp)
+        return interpol(field_c, pos)
+
     def semi_lagrange_mac(field, sdt):
-        vx = interpol_component(field, start + (-sdt) * mac_x, 0)
-        vy = interpol_component(field, start + (-sdt) * mac_y, 1)
+        vx = sample(field[:, 0], start + (-sdt) * mac_x)
+        vy = sample(field[:, 1], start + (-sdt) * mac_y)
         val = jnp.stack([vx, vy], axis=1)
         return jnp.where(fluid[:, None], val, field)
 
@@ -209,8 +253,20 @@ def advect_velocity(
     dst_u = correct(0, skip_u)
     dst_v = correct(1, skip_v)
 
-    clamp_u = _clamp_component_mac(0, dst_u, orig, fwd[:, 0], mac_x * dt, b, h, w)
-    clamp_v = _clamp_component_mac(1, dst_v, orig, fwd[:, 1], mac_y * dt, b, h, w)
+    if window:
+        clamp_u = clamp_component_mac_window(
+            dst_u, orig[:, 0], mac_x * dt, max_disp
+        )
+        clamp_v = clamp_component_mac_window(
+            dst_v, orig[:, 1], mac_y * dt, max_disp
+        )
+    else:
+        clamp_u = _clamp_component_mac(
+            0, dst_u, orig, fwd[:, 0], mac_x * dt, b, h, w
+        )
+        clamp_v = _clamp_component_mac(
+            1, dst_v, orig, fwd[:, 1], mac_y * dt, b, h, w
+        )
 
     out_u = jnp.where(border, 0.0, clamp_u)
     out_v = jnp.where(border, 0.0, clamp_v)

@@ -109,7 +109,8 @@ def _ray_box_intersection(origin, direction, ctr, mask):
     return hit, coord
 
 
-def calc_line_trace(pos, delta, flags, do_line_trace: bool = True):
+def calc_line_trace(pos, delta, flags, do_line_trace: bool = True,
+                    blocked_lookup=None):
     """March from ``pos`` along ``delta``, stopping at walls and obstacles.
 
     Faithful port of calcLineTrace (ref: calc_line_trace.cpp:259-424):
@@ -118,14 +119,20 @@ def calc_line_trace(pos, delta, flags, do_line_trace: bool = True):
     box intersection (up to 4 refinement spins). With ``do_line_trace=False``
     this is simply ``pos + delta`` (the velocity-advection path,
     ref: fluids_init.cpp:691).
+
+    ``blocked_lookup`` optionally replaces the gather-based point lookup
+    (e.g. the bounded-window version from ops/window.py, the TPU fast path).
     """
     if not do_line_trace:
         return pos + delta
 
+    if blocked_lookup is None:
+        blocked_lookup = lambda q: _is_blocked_cell(q, flags)
+
     _, h, w = flags.shape
     m_cont = jnp.ones(pos.shape[0:1] + pos.shape[2:], bool)
     m_cont &= ~_is_out_of_domain(pos, h, w)
-    m_cont &= ~_is_blocked_cell(pos, flags)
+    m_cont &= ~blocked_lookup(pos)
 
     length = jnp.sqrt(jnp.sum(delta * delta, axis=1))
     m_cont &= length > EPSILON
@@ -169,19 +176,20 @@ def calc_line_trace(pos, delta, flags, do_line_trace: bool = True):
         )
         ipos = scatter(ipos, no_hit, clamped)
 
-        blocked_i = _is_blocked_cell(ipos, flags) & m_out
-        against_border = (~_is_blocked_cell(ipos, flags)) & m_out
+        ipos_blocked = blocked_lookup(ipos)
+        blocked_i = ipos_blocked & m_out
+        against_border = (~ipos_blocked) & m_out
         new_pos = scatter(new_pos, against_border, ipos)
         m_cont &= ~against_border
         next_pos = scatter(next_pos, blocked_i & m_cont, ipos)
 
         # Case 2: next_pos entered a blocked cell
         # (ref: calc_line_trace.cpp:362-410).
-        m_block = _is_blocked_cell(next_pos, flags) & m_cont
+        m_block = blocked_lookup(next_pos) & m_cont
 
         def backoff(carry, _):
             next_pos, m_cont, count_mask = carry
-            count_mask &= _is_blocked_cell(next_pos, flags)
+            count_mask &= blocked_lookup(next_pos)
             ctr = jnp.trunc(next_pos).astype(F32) + 0.5
             hit, coord = _ray_box_intersection(
                 new_pos, direction, ctr, count_mask

@@ -101,6 +101,8 @@ def simulate_step(
         bnd=1,
         sample_outside_fluid=cfg.sample_outside_fluid,
         maccormack_strength=cfg.maccormack_strength,
+        impl=cfg.advection_impl,
+        max_disp=cfg.max_disp,
     )
     if cfg.correct_scalar:
         div = velocity_divergence(U, flags)
@@ -111,6 +113,8 @@ def simulate_step(
         method=cfg.advection_method,
         bnd=1,
         maccormack_strength=cfg.maccormack_strength,
+        impl=cfg.advection_impl,
+        max_disp=cfg.max_disp,
     )
 
     U, rho = apply_const_vals(state, U, rho)

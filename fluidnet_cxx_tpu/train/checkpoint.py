@@ -1,0 +1,115 @@
+"""Checkpoint / restart.
+
+Training: orbax checkpoints of {params, opt_state, step, epoch, best} with a
+best-copy like the reference's ``*_lastEpoch_best.pth``
+(ref: fluid_net_train.py:497-502,586-596). Model architecture is captured as
+a serialised ModelConfig JSON instead of the reference's copy-the-source-file
+scheme (ref: fluid_net_train.py:537-542).
+
+Simulation: SimState snapshots ({fields, it}) for --restartSim
+(ref: plume.py:70-71,168-178,422-423).
+"""
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..state import SimState
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+# ------------------------------------------------------------------ training
+
+def save_train_checkpoint(
+    model_dir: str,
+    train_state,
+    epoch: int,
+    best_perf: float,
+    model_cfg: ModelConfig,
+    is_best: bool = False,
+):
+    os.makedirs(model_dir, exist_ok=True)
+    payload = {
+        "params": train_state.params,
+        "opt_state": train_state.opt_state,
+        "step": train_state.step,
+        "epoch": jnp.asarray(epoch),
+        "best_perf": jnp.asarray(best_perf),
+    }
+    ck = _ckptr()
+    path = os.path.join(os.path.abspath(model_dir), "last_epoch")
+    ck.save(path, payload, force=True)
+    if is_best:
+        ck.save(
+            os.path.join(os.path.abspath(model_dir), "best"),
+            payload,
+            force=True,
+        )
+    with open(os.path.join(model_dir, "model_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(model_cfg), f, indent=2)
+
+
+def load_train_checkpoint(model_dir: str, template, best: bool = False):
+    """Returns (train_state, epoch, best_perf). ``template`` is a TrainState
+    with the right structure (e.g. freshly initialised)."""
+    from .trainer import TrainState
+
+    ck = _ckptr()
+    name = "best" if best else "last_epoch"
+    payload = {
+        "params": template.params,
+        "opt_state": template.opt_state,
+        "step": template.step,
+        "epoch": jnp.zeros(()),
+        "best_perf": jnp.zeros(()),
+    }
+    restored = ck.restore(
+        os.path.join(os.path.abspath(model_dir), name), item=payload
+    )
+    ts = TrainState(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return ts, int(restored["epoch"]), float(restored["best_perf"])
+
+
+def load_model_config(model_dir: str) -> ModelConfig:
+    with open(os.path.join(model_dir, "model_config.json")) as f:
+        return ModelConfig(**json.load(f))
+
+
+# ---------------------------------------------------------------- simulation
+
+def save_sim_restart(path: str, state: SimState, it: int):
+    """npz snapshot of every non-None SimState field + iteration counter."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {"it": np.asarray(it)}
+    for name in SimState._fields:
+        val = getattr(state, name)
+        if val is not None:
+            arrays[name] = np.asarray(val)
+    np.savez(path, **arrays)
+
+
+def load_sim_restart(path: str) -> Tuple[SimState, int]:
+    with np.load(path) as z:
+        it = int(z["it"])
+        kwargs = {}
+        for name in SimState._fields:
+            if name in z.files:
+                arr = z[name]
+                kwargs[name] = jnp.asarray(arr)
+            else:
+                kwargs[name] = None
+    return SimState(**kwargs), it

@@ -53,7 +53,10 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(cfg: TrainConfig):
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1):
+    """Adam + reduce-on-plateau. The reference steps the plateau scheduler
+    once per epoch on the epoch-mean train loss (fluid_net_train.py:579);
+    ``accumulation_size=steps_per_epoch`` reproduces that cadence."""
     return optax.chain(
         optax.adam(cfg.lr),
         reduce_on_plateau(
@@ -61,6 +64,7 @@ def make_optimizer(cfg: TrainConfig):
             patience=cfg.plateau_patience,
             rtol=cfg.plateau_threshold,
             atol=0.0,
+            accumulation_size=max(steps_per_epoch, 1),
         ),
     )
 

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Flow-past-cylinder driver (twin of pytorch/cylinder.py).
+
+No-slip (stick) cylinder, left-wall inlet, viscosity from Re
+(nu = |u| * D / Re, ref: cylinder.py:208). Default domain is the reference's
+8000x800; pass --resX/--resY for smaller runs. The reference driver calls
+lib.simulate with a stale signature and NameError-ridden stick BCs; this is
+the working equivalent.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resX", type=int, default=8000)
+    ap.add_argument("--resY", type=int, default=800)
+    ap.add_argument("--re", type=float, default=100.0)
+    ap.add_argument("--radius", type=float, default=80.5)
+    ap.add_argument("--centerX", type=float, default=500.0)
+    ap.add_argument("--inletVel", type=float, default=1.0)
+    ap.add_argument("--maxIter", type=int, default=5000)
+    ap.add_argument("--statIter", type=int, default=50)
+    ap.add_argument("--jacobiIter", type=int, default=34)
+    ap.add_argument("--outputFolder", default="out/cylinder")
+    ap.add_argument("--restartSim", action="store_true")
+    args = ap.parse_args()
+
+    from fluidnet_cxx_tpu.sim import create_cylinder_scene, cylinder_config
+    from fluidnet_cxx_tpu.sim.driver import run_simulation
+    from fluidnet_cxx_tpu.train.checkpoint import (
+        load_sim_restart,
+        save_sim_restart,
+    )
+    from fluidnet_cxx_tpu.utils.plotting import plot_sim_snapshot
+
+    out = args.outputFolder
+    os.makedirs(out, exist_ok=True)
+
+    state, viscosity = create_cylinder_scene(
+        res_x=args.resX, res_y=args.resY,
+        center_x=args.centerX, radius=args.radius,
+        inlet_vel=args.inletVel, reynolds=args.re,
+    )
+    cfg = cylinder_config(viscosity, jacobi_iter=args.jacobiIter)
+    print(f"cylinder {args.resX}x{args.resY}, Re={args.re}, nu={viscosity:.3f}")
+
+    it0 = 0
+    restart_file = os.path.join(out, "restart.npz")
+    if args.restartSim and os.path.isfile(restart_file):
+        state, it0 = load_sim_restart(restart_file)
+
+    def on_stats(state, it):
+        plot_sim_snapshot(state, os.path.join(out, f"snap_{it:06d}.png"), it)
+        save_sim_restart(restart_file, state, it)
+
+    run_simulation(
+        cfg, state, args.maxIter, args.statIter,
+        on_stats=on_stats, start_it=it0,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Training driver (twin of pytorch/fluid_net_train.py).
+
+    python scripts/train.py --trainConfig configs/train.yaml
+        [--dataDir DIR | --synthetic N] [--modelDir DIR] [--resume]
+        [--maxEpochs N] [--bsz N] [--lr X]
+
+Data: either a preprocessed Mantaflow dataset directory (tr/ and te/ scene
+folders of .npz frames — see fluidnet_cxx_tpu.data.preprocess_manta_scenes)
+or ``--synthetic N`` to materialise N scenes of solver-labelled synthetic
+data first.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+import yaml
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trainConfig", default=None)
+    ap.add_argument("--dataDir", default=None)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic scenes into dataDir first")
+    ap.add_argument("--modelDir", default="out/model")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--maxEpochs", type=int, default=None)
+    ap.add_argument("--bsz", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--res", type=int, default=128,
+                    help="grid size for synthetic data")
+    args = ap.parse_args()
+
+    from fluidnet_cxx_tpu.config import (
+        ModelConfig,
+        SimConfig,
+        model_config_from_mconf,
+        sim_config_from_mconf,
+        train_config_from_yaml,
+    )
+    from fluidnet_cxx_tpu.data import (
+        FluidDataset,
+        sample_to_batch,
+        write_synthetic_dataset,
+    )
+    from fluidnet_cxx_tpu.models import FluidNet
+    from fluidnet_cxx_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from fluidnet_cxx_tpu.train.checkpoint import (
+        load_train_checkpoint,
+        save_train_checkpoint,
+    )
+    from fluidnet_cxx_tpu.utils.diagnostics import LossLogger
+
+    conf = {}
+    if args.trainConfig:
+        with open(args.trainConfig) as f:
+            conf = yaml.safe_load(f) or {}
+    mconf = conf.get("modelParam", {}) or {}
+    import dataclasses
+
+    tc = train_config_from_yaml(conf)
+    if args.maxEpochs:
+        tc = dataclasses.replace(tc, max_epochs=args.maxEpochs)
+    if args.bsz:
+        tc = dataclasses.replace(tc, batch_size=args.bsz)
+    if args.lr:
+        tc = dataclasses.replace(tc, lr=args.lr)
+    mcfg = model_config_from_mconf(mconf)
+    scfg = sim_config_from_mconf(mconf)
+
+    data_dir = args.dataDir or os.path.join(args.modelDir, "data")
+    if args.synthetic:
+        print(f"generating {args.synthetic} synthetic scenes...")
+        write_synthetic_dataset(
+            os.path.join(data_dir, "tr"), args.synthetic,
+            steps_per_scene=8, h=args.res, w=args.res,
+        )
+        write_synthetic_dataset(
+            os.path.join(data_dir, "te"), max(args.synthetic // 4, 1),
+            steps_per_scene=8, h=args.res, w=args.res, seed=999,
+        )
+    tr = FluidDataset(data_dir, "tr")
+    te = FluidDataset(data_dir, "te")
+    steps_per_epoch = len(tr) // tc.batch_size
+    print(f"train {len(tr)} frames, val {len(te)} frames, "
+          f"{steps_per_epoch} steps/epoch")
+
+    model = FluidNet(mcfg)
+    opt = make_optimizer(tc, steps_per_epoch)
+    ts = init_train_state(
+        model, jax.random.PRNGKey(0), tc, tr.h, tr.w, opt
+    )
+    epoch0, best = 0, float("inf")
+    if args.resume:
+        ts, epoch0, best = load_train_checkpoint(args.modelDir, ts)
+        print(f"resumed at epoch {epoch0}, best {best:.5f}")
+
+    train_step, eval_step = make_train_step(model, scfg, tc, opt)
+    train_step = jax.jit(train_step, donate_argnums=0)
+    eval_step = jax.jit(eval_step)
+
+    os.makedirs(args.modelDir, exist_ok=True)
+    tr_log = LossLogger(os.path.join(args.modelDir, "train_loss.npy"))
+    va_log = LossLogger(os.path.join(args.modelDir, "val_loss.npy"))
+    key = jax.random.PRNGKey(1234)
+
+    for epoch in range(epoch0 + 1, tc.max_epochs + 1):
+        t0 = time.time()
+        tr_terms = []
+        for batch in tr.batches(tc.batch_size, shuffle=True, seed=epoch):
+            key, sub = jax.random.split(key)
+            ts, terms = train_step(ts, sample_to_batch(batch), sub)
+            tr_terms.append(terms)
+        va_terms = []
+        for batch in te.batches(tc.batch_size, shuffle=False,
+                                drop_last=False):
+            key, sub = jax.random.split(key)
+            va_terms.append(eval_step(ts, sample_to_batch(batch), sub))
+
+        def mean_terms(terms_list):
+            import jax.numpy as jnp
+
+            return jax.tree_util.tree_map(
+                lambda *xs: float(np.mean([np.asarray(x) for x in xs])),
+                *terms_list,
+            )
+
+        trm = mean_terms(tr_terms)
+        vam = mean_terms(va_terms)
+        tr_log.append(epoch, trm)
+        va_log.append(epoch, vam)
+        tr_log.save()
+        va_log.save()
+
+        is_best = vam.total < best
+        best = min(best, vam.total)
+        save_train_checkpoint(
+            args.modelDir, ts, epoch, best, mcfg, is_best=is_best
+        )
+        print(
+            f"epoch {epoch}/{tc.max_epochs}: train {trm.total:.5f} "
+            f"val {vam.total:.5f}{' *best*' if is_best else ''} "
+            f"({time.time()-t0:.1f}s)"
+        )
+
+
+if __name__ == "__main__":
+    main()
