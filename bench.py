@@ -10,7 +10,13 @@ this framework's own step on the host CPU backend (the PyTorch reference
 cannot run here — it is CUDA-only at 512^2); override with env
 BENCH_CPU_REF_SPS if a measured torch number is available.
 
-Extra diagnostics (128^2, Jacobi variants, divergence residual) go to stderr.
+Methodology: N steps fused into one jitted lax.scan; timed on the second,
+already-compiled invocation with a chained (different) input, ending in a
+single host materialisation. (The axon remote backend memoizes identical
+calls and its block_until_ready is unreliable — per-step host pulls or
+repeated identical inputs both give bogus numbers.)
+
+Extra diagnostics (Jacobi variants, divergence) go to stderr.
 """
 import json
 import os
@@ -19,6 +25,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(*a):
@@ -30,11 +37,7 @@ def build(res, sim_method="convnet", jacobi_iter=200):
     from fluidnet_cxx_tpu.models import FluidNet, init_params, make_project_fn
     from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
 
-    cfg = plume_config(
-        sim_method=sim_method,
-        jacobi_iter=jacobi_iter,
-        dt=0.1,
-    )
+    cfg = plume_config(sim_method=sim_method, jacobi_iter=jacobi_iter, dt=0.1)
     # plumeConfig.yaml scene: injectionDensity .1, velocity 2 (scaled by
     # res/128 like solver_cpp/simulate/simulate.cpp:253), radius .145.
     state = create_plume_scene(
@@ -53,28 +56,30 @@ def build(res, sim_method="convnet", jacobi_iter=200):
     return step, state
 
 
-def time_steps(step, state, n_steps, warmup=3):
-    step = jax.jit(step, donate_argnums=0)
-    for _ in range(warmup):
-        state = step(state)
-    jax.block_until_ready(state)
+def time_steps(step, state, n_steps):
+    @jax.jit
+    def run(s):
+        return jax.lax.scan(
+            lambda c, _: (step(c), None), s, None, length=n_steps
+        )[0]
+
+    s = run(state)
+    _ = float(jnp.sum(s.density))  # compile + warm run, forced to host
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = step(state)
-    jax.block_until_ready(state)
+    s2 = run(s)  # chained input: cannot be served from cache
+    _ = float(jnp.sum(s2.density))
     dt = time.perf_counter() - t0
-    return n_steps / dt, state
+    return n_steps / dt, s2
 
 
 def main():
     res = int(os.environ.get("BENCH_RES", "512"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
 
     dev = jax.devices()[0]
-    log(f"device: {dev} | benchmarking plume {res}^2")
+    log(f"device: {dev} | benchmarking plume {res}^2, scan of {n_steps}")
 
-    step, state0 = build(res, "convnet")
-    sps, state = time_steps(step, state0, n_steps)
+    sps, state = time_steps(*build(res, "convnet"), n_steps)
     log(f"CNN projection: {sps:.2f} steps/s at {res}^2")
 
     from fluidnet_cxx_tpu import ops
@@ -84,8 +89,9 @@ def main():
 
     try:
         for ji in (28, 100, 200):
-            stepj, statej = build(res, "jacobi", jacobi_iter=ji)
-            spsj, statej = time_steps(stepj, statej, max(n_steps // 2, 5))
+            spsj, statej = time_steps(
+                *build(res, "jacobi", jacobi_iter=ji), n_steps
+            )
             divj = jnp.abs(
                 ops.velocity_divergence(statej.U, statej.flags)
             ).max()
@@ -96,7 +102,6 @@ def main():
     except Exception as e:  # diagnostics only
         log("jacobi diagnostics failed:", e)
 
-    # CPU reference proxy for vs_baseline.
     cpu_sps = os.environ.get("BENCH_CPU_REF_SPS")
     if cpu_sps is not None:
         cpu_sps = float(cpu_sps)
@@ -104,8 +109,7 @@ def main():
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                stepc, statec = build(res, "convnet")
-                cpu_sps, _ = time_steps(stepc, statec, 3, warmup=1)
+                cpu_sps, _ = time_steps(*build(res, "convnet"), 3)
             log(f"CPU proxy: {cpu_sps:.3f} steps/s")
         except Exception as e:
             log("CPU proxy failed:", e)

@@ -1,0 +1,37 @@
+"""Pallas kernels in interpreter mode (CPU) vs the XLA reference ops."""
+import jax
+import numpy as np
+import pytest
+
+from conftest import random_flags
+from fluidnet_cxx_tpu import ops
+
+
+def test_jacobi_pallas_matches_xla(rng, monkeypatch):
+    from jax.experimental import pallas as pl
+
+    from fluidnet_cxx_tpu.ops.pallas import jacobi_pallas as jp
+
+    # force interpret mode on CPU
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    flags = random_flags(rng, 2, 16, 24, p_obstacle=0.1)
+    U = rng.standard_normal((2, 2, 16, 24)).astype(np.float32)
+    div = np.asarray(ops.velocity_divergence(U, flags))
+
+    got = np.asarray(jp.solve_jacobi_pallas(flags, div, 30))
+    want = np.asarray(ops.solve_jacobi_fixed(flags, div, 30))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_vmem_fits():
+    from fluidnet_cxx_tpu.ops.pallas.jacobi_pallas import vmem_fits
+
+    assert vmem_fits(512, 512)
+    assert not vmem_fits(4096, 4096)
