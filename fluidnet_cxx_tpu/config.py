@@ -36,6 +36,11 @@ class SimConfig:
     # exact for CFL <= max_disp) or 'gather' (arbitrary displacement).
     advection_impl: str = "window"
     max_disp: int = 4
+    # Obstacle-aware ray march for the scalar back-trace (the reference
+    # always enables it, fluids_init.cpp:300). For scenes without internal
+    # obstacles it only affects a ring near the walls; disabling it there
+    # trades that for a large speedup.
+    line_trace: bool = True
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -1,4 +1,5 @@
 from .fluidnet import (
+    summary,
     FluidNet,
     FluidNetTower,
     assemble_inputs,
@@ -11,4 +12,5 @@ from .multi_scale import MultiScaleNet
 __all__ = [
     "FluidNet", "FluidNetTower", "MultiScaleNet",
     "assemble_inputs", "init_params", "make_project_fn", "scale_std",
+    "summary",
 ]

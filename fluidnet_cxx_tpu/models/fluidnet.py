@@ -161,3 +161,20 @@ def init_params(model: FluidNet, key, h: int = 128, w: int = 128):
     flags = jnp.ones((1, h, w), jnp.int32)
     rho = jnp.zeros((1, h, w), jnp.float32)
     return model.init(key, p, U, flags, rho)
+
+
+def summary(params, title: str = "FluidNet"):
+    """Parameter-count summary string (the reference prints a torchsummary
+    table, ref: pytorch/lib/util_print.py:6)."""
+    import numpy as np
+
+    lines = [f"{title} parameters:"]
+    total = 0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        lines.append(f"  {name:60s} {str(leaf.shape):18s} {n:>10,d}")
+    lines.append(f"  {'total':60s} {'':18s} {total:>10,d}")
+    return "\n".join(lines)

@@ -103,6 +103,7 @@ def simulate_step(
         maccormack_strength=cfg.maccormack_strength,
         impl=cfg.advection_impl,
         max_disp=cfg.max_disp,
+        line_trace=cfg.line_trace,
     )
     if cfg.correct_scalar:
         div = velocity_divergence(U, flags)

@@ -206,3 +206,41 @@ def init_train_state(model, key, cfg: TrainConfig, h=128, w=128, optimizer=None)
         opt_state=optimizer.init(params),
         step=jnp.zeros((), jnp.int32),
     )
+
+
+def make_on_device_train_step(
+    model: FluidNet,
+    sim_cfg: SimConfig,
+    cfg: TrainConfig,
+    h: int,
+    w: int,
+    batch_size: int = None,
+    jacobi_iters: int = 400,
+    optimizer=None,
+):
+    """Fully on-device training step: the synthetic batch is generated inside
+    jit (labels from a Jacobi solve), so no host->device transfer happens per
+    step — essential when the device sits behind a slow transport.
+
+    Returns ``step(ts, key) -> (ts, LossTerms)``.
+    """
+    from ..data.synthetic import generate_batch
+
+    optimizer = optimizer or make_optimizer(cfg)
+    loss_fn = make_loss_fn(model, sim_cfg, cfg)
+    bsz = batch_size or cfg.batch_size
+
+    def step(ts: TrainState, key):
+        k_data, k_loss = jax.random.split(key)
+        sample = generate_batch(k_data, bsz, h, w, jacobi_iters)
+        batch = Batch(*sample)
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, batch, k_loss
+        )
+        updates, opt_state = optimizer.update(
+            grads, ts.opt_state, ts.params, value=terms.total
+        )
+        params = optax.apply_updates(ts.params, updates)
+        return TrainState(params, opt_state, ts.step + 1), terms
+
+    return step
