@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--res", type=int, default=128,
                     help="grid size for synthetic data")
+    ap.add_argument("--model", default=None, choices=["FluidNet", "ScaleNet"])
+    ap.add_argument("--onDevice", type=int, default=0,
+                    help="train N steps with batches generated on-device "
+                         "(no host dataset; fastest on TPU)")
+    ap.add_argument("--labelIters", type=int, default=600,
+                    help="Jacobi iterations for on-device labels")
     args = ap.parse_args()
 
     from fluidnet_cxx_tpu.config import (
@@ -75,8 +81,62 @@ def main():
         tc = dataclasses.replace(tc, batch_size=args.bsz)
     if args.lr:
         tc = dataclasses.replace(tc, lr=args.lr)
+    if args.model:
+        mconf["model"] = args.model
     mcfg = model_config_from_mconf(mconf)
     scfg = sim_config_from_mconf(mconf)
+
+    if args.onDevice:
+        from fluidnet_cxx_tpu.train.trainer import make_on_device_train_step
+        from fluidnet_cxx_tpu.train.checkpoint import save_train_checkpoint
+        from fluidnet_cxx_tpu.models import FluidNet as _FN
+
+        model = FluidNet(mcfg)
+        opt = make_optimizer(tc, steps_per_epoch=50)
+        ts = init_train_state(
+            model, jax.random.PRNGKey(0), tc, args.res, args.res, opt
+        )
+        epoch0, best = 0, float("inf")
+        if args.resume:
+            ts, epoch0, best = load_train_checkpoint(args.modelDir, ts)
+            print(f"resumed at step {int(ts.step)}")
+        step = jax.jit(
+            make_on_device_train_step(
+                model, scfg, tc, args.res, args.res,
+                tc.batch_size, args.labelIters, opt,
+            ),
+            donate_argnums=0,
+        )
+        os.makedirs(args.modelDir, exist_ok=True)
+        log = LossLogger(os.path.join(args.modelDir, "train_loss.npy"))
+        key = jax.random.PRNGKey(4321)
+        t0 = time.time()
+        window = []
+        for i in range(1, args.onDevice + 1):
+            key, sub = jax.random.split(key)
+            ts, terms = step(ts, sub)
+            window.append(terms)
+            if i % 50 == 0:
+                mean = jax.tree_util.tree_map(
+                    lambda *xs: float(np.mean([np.asarray(x) for x in xs])),
+                    *window,
+                )
+                window = []
+                log.append(i, mean)
+                log.save()
+                is_best = mean.total < best
+                best = min(best, mean.total)
+                save_train_checkpoint(
+                    args.modelDir, ts, i, best, mcfg, is_best=is_best
+                )
+                print(
+                    f"step {i}/{args.onDevice}: loss {mean.total:.5f} "
+                    f"(divL2 {mean.div_l2:.5f} divLT {mean.div_lt:.5f}) "
+                    f"{50/(time.time()-t0):.2f} steps/s",
+                    flush=True,
+                )
+                t0 = time.time()
+        return
 
     data_dir = args.dataDir or os.path.join(args.modelDir, "data")
     if args.synthetic:
