@@ -57,6 +57,9 @@ class ModelConfig:
     normalize_input_chan: str = "UDiv"
     normalize_input_threshold: float = 1e-5
     dropout: bool = False
+    # Conv compute dtype: 'float32' (default, reference parity) or
+    # 'bfloat16' (MXU fast path; params stay f32, in/out stay f32).
+    compute_dtype: str = "float32"
 
     @property
     def in_dims(self) -> int:

@@ -78,18 +78,22 @@ class FluidNetTower(nn.Module):
     (model.py:204-205, a known quirk); we apply conv2 then conv3 once each.
     """
     dropout: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        conv1 = nn.Conv(16, (3, 3), padding="SAME", name="conv1")
+        conv1 = nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="conv1")
         x = nn.relu(conv1(x))
 
         # Shared hidden block applied to every bank (weight sharing, like the
         # reference's single convBank module).
         block = nn.Sequential([
-            nn.Conv(16, (3, 3), padding="SAME", name="bank_conv1"),
+            nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="bank_conv1"),
             nn.relu,
-            nn.Conv(16, (3, 3), padding="SAME", name="bank_conv2"),
+            nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="bank_conv2"),
             nn.relu,
         ])
 
@@ -105,10 +109,10 @@ class FluidNetTower(nn.Module):
             return jnp.repeat(jnp.repeat(a, k, axis=1), k, axis=2)
 
         x = x0 + up(x1, 2) + up(x2, 4)
-        x = nn.relu(nn.Conv(16, (1, 1), name="conv2")(x))
-        x = nn.relu(nn.Conv(8, (1, 1), name="conv3")(x))
-        p = nn.Conv(1, (1, 1), name="convOut")(x)
-        return p
+        x = nn.relu(nn.Conv(16, (1, 1), dtype=self.dtype, name="conv2")(x))
+        x = nn.relu(nn.Conv(8, (1, 1), dtype=self.dtype, name="conv3")(x))
+        p = nn.Conv(1, (1, 1), dtype=self.dtype, name="convOut")(x)
+        return p.astype(jnp.float32)
 
 
 class FluidNet(nn.Module):
@@ -125,13 +129,13 @@ class FluidNet(nn.Module):
     def __call__(self, p, U, flags, density, deterministic: bool = True):
         x, s = assemble_inputs(self.cfg, p, U, flags, density)
         if self.cfg.model == "ScaleNet":
-            p_hat = MultiScaleNet(dropout=self.cfg.dropout)(
-                x, deterministic=deterministic
-            )
+            p_hat = MultiScaleNet(
+                dropout=self.cfg.dropout, dtype=self.cfg.compute_dtype
+            )(x, deterministic=deterministic)
         else:
-            p_hat = FluidNetTower(dropout=self.cfg.dropout)(
-                x, deterministic=deterministic
-            )
+            p_hat = FluidNetTower(
+                dropout=self.cfg.dropout, dtype=self.cfg.compute_dtype
+            )(x, deterministic=deterministic)
         p_hat = p_hat[..., 0]  # NHWC -> (b, h, w)
 
         # In-model projection on the NORMALISED fields (ref: model.py:213-218

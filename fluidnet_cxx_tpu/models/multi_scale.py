@@ -28,6 +28,7 @@ class _Branch(nn.Module):
     widths: tuple
     kernels: tuple
     dropout: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -35,7 +36,7 @@ class _Branch(nn.Module):
         for idx, (wd, k) in enumerate(zip(self.widths, self.kernels)):
             if self.dropout and idx == n - 1:
                 x = nn.Dropout(0.5, deterministic=deterministic)(x)
-            x = nn.Conv(wd, (k, k), padding="SAME")(x)
+            x = nn.Conv(wd, (k, k), padding="SAME", dtype=self.dtype)(x)
             if idx < n - 2:  # no ReLU after the last two convs
                 x = nn.relu(x)
         return x
@@ -44,6 +45,7 @@ class _Branch(nn.Module):
 class MultiScaleNet(nn.Module):
     """(ref: multi_scale_net.py:101-127)"""
     dropout: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -55,21 +57,22 @@ class MultiScaleNet(nn.Module):
         q_in = _resize(x, quarter)
         q_out = _Branch(
             widths=(32, 64, 32, 1), kernels=(3, 3, 3, 3),
-            dropout=self.dropout, name="convN_4",
+            dropout=self.dropout, dtype=self.dtype, name="convN_4",
         )(q_in, deterministic)
 
         # Half scale: convs 5/3/3/3/3/3, widths 32,64,128,64,32,1.
         h_in = jnp.concatenate([_resize(x, half), _resize(q_out, half)], -1)
         h_out = _Branch(
             widths=(32, 64, 128, 64, 32, 1), kernels=(5, 3, 3, 3, 3, 3),
-            dropout=self.dropout, name="convN_2",
+            dropout=self.dropout, dtype=self.dtype, name="convN_2",
         )(h_in, deterministic)
 
         # Full scale: convs 5/3/3/3/3/5, widths 32,64,128,64,32,8.
         f_in = jnp.concatenate([x, _resize(h_out, (h, w))], -1)
         f_out = _Branch(
             widths=(32, 64, 128, 64, 32, 8), kernels=(5, 3, 3, 3, 3, 5),
-            dropout=self.dropout, name="convN_1",
+            dropout=self.dropout, dtype=self.dtype, name="convN_1",
         )(f_in, deterministic)
 
-        return nn.Conv(1, (1, 1), name="final")(f_out)
+        out = nn.Conv(1, (1, 1), dtype=self.dtype, name="final")(f_out)
+        return out.astype(jnp.float32)
