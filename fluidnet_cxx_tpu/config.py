@@ -36,6 +36,11 @@ class SimConfig:
     # exact for CFL <= max_disp) or 'gather' (arbitrary displacement).
     advection_impl: str = "window"
     max_disp: int = 4
+    # Advect the density/scalar field. The training rollout disables this:
+    # the reference's rollout batch carries no density, so its scalar
+    # advection never runs there (ref: fluid_net_train.py:362-365 vs
+    # lib/simulate.py:72-81).
+    advect_density: bool = True
     # Obstacle-aware ray march for the scalar back-trace (the reference
     # always enables it, fluids_init.cpp:300). For scenes without internal
     # obstacles it only affects a ring near the walls; disabling it there

@@ -95,19 +95,20 @@ def simulate_step(
     else:
         orig = U
 
-    rho = advect_scalar(
-        dt, rho, U, flags,
-        method=cfg.advection_method,
-        bnd=1,
-        sample_outside_fluid=cfg.sample_outside_fluid,
-        maccormack_strength=cfg.maccormack_strength,
-        impl=cfg.advection_impl,
-        max_disp=cfg.max_disp,
-        line_trace=cfg.line_trace,
-    )
-    if cfg.correct_scalar:
-        div = velocity_divergence(U, flags)
-        rho = correct_scalar(dt, rho, div, flags)
+    if cfg.advect_density:
+        rho = advect_scalar(
+            dt, rho, U, flags,
+            method=cfg.advection_method,
+            bnd=1,
+            sample_outside_fluid=cfg.sample_outside_fluid,
+            maccormack_strength=cfg.maccormack_strength,
+            impl=cfg.advection_impl,
+            max_disp=cfg.max_disp,
+            line_trace=cfg.line_trace,
+        )
+        if cfg.correct_scalar:
+            div = velocity_divergence(U, flags)
+            rho = correct_scalar(dt, rho, div, flags)
 
     U = advect_velocity(
         dt, orig, U, flags,

@@ -112,7 +112,10 @@ def make_loss_fn(
     cfg: TrainConfig,
     deterministic: bool = True,
 ):
-    rollout_cfg = sim_cfg.replace(sim_method="convnet")
+    # The rollout state has no physical density (see module docstring); skip
+    # scalar advection there, exactly like the reference's density-less
+    # rollout batch does.
+    rollout_cfg = sim_cfg.replace(sim_method="convnet", advect_density=False)
     max_steps = max(cfg.lt_num_steps)
 
     def loss_fn(params, batch: Batch, key) -> LossTerms:
