@@ -201,7 +201,9 @@ def rayleigh_taylor_config(**overrides) -> SimConfig:
 
 
 def cylinder_config(viscosity: float, **overrides) -> SimConfig:
-    """Cylinder physics (ref: pytorch/cylinder.py:205-209)."""
+    """Cylinder physics (ref: pytorch/cylinder.py:205-209). The reference's
+    cylinder batch carries no density field, so scalar advection never runs
+    there (lib/simulate.py:72-81) — advect_density=False matches that."""
     base = dict(
         dt=0.1,
         maccormack_strength=0.6,
@@ -210,6 +212,7 @@ def cylinder_config(viscosity: float, **overrides) -> SimConfig:
         viscosity=viscosity,
         p_tol=0.0,
         jacobi_iter=34,
+        advect_density=False,
         sim_method="jacobi",
     )
     base.update(overrides)
