@@ -1,0 +1,243 @@
+"""Fused MAC velocity advection (Pallas TPU kernel, window semantics).
+
+One kernel does the whole MacCormack velocity pipeline — face-velocity
+resampling, forward & backward semi-Lagrangian window sampling, correction
+with fluid-skip masks, Selle clamp — entirely in VMEM, so the (2D+2)^2
+window passes cost VPU cycles instead of HBM round-trips. Semantics equal
+ops.advection.advect_velocity(impl='window') and are tested against it.
+
+Tiling: grid over (batch, row-blocks); each program DMAs its row block plus
+a halo of H_HALO rows from HBM into VMEM scratch (window shifts never reach
+further than max_disp+2 rows), computes, and writes the interior block.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...celltype import FLUID
+from .jacobi_pallas import _shift
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def _border_zero(a, row0, h, w, bnd=1):
+    """Zero the global 1-ring border inside an extended tile whose first row
+    is global row ``row0`` (traced)."""
+    th, tw = a.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    keep = (xx >= bnd) & (xx <= w - 1 - bnd) & (yy >= bnd) & (yy <= h - 1 - bnd)
+    return jnp.where(keep, a, 0.0)
+
+
+def _interpol_window_tile(src, pos_x, pos_y, D, row0, h, w):
+    """Bilinear window sample on an extended tile. ``src`` and positions are
+    (th, tw); positions are ABSOLUTE grid coordinates; the tile's first row is
+    global row ``row0``. Matches ops.window.interpol_window."""
+    th, tw = src.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+
+    cx = xx.astype(F32) + 0.5
+    cy = yy.astype(F32) + 0.5
+    px = jnp.clip(pos_x, cx - D, cx + D) - 0.5
+    py = jnp.clip(pos_y, cy - D, cy + D) - 0.5
+    x0 = jnp.trunc(px).astype(I32)
+    y0 = jnp.trunc(py).astype(I32)
+    s1 = jnp.clip(px - x0.astype(F32), 0.0, 1.0)
+    t1 = jnp.clip(py - y0.astype(F32), 0.0, 1.0)
+    x0 = jnp.clip(x0, 0, w - 2)
+    y0 = jnp.clip(y0, 0, h - 2)
+    ox0 = x0 - xx
+    oy0 = y0 - yy
+    s0, t0 = 1.0 - s1, 1.0 - t1
+
+    out = jnp.zeros_like(src)
+    for oy in range(-D, D + 2):
+        wy = t0 * (oy0 == oy) + t1 * (oy0 == oy - 1)
+        row = jnp.zeros_like(src)
+        for ox in range(-D, D + 2):
+            wx = s0 * (ox0 == ox) + s1 * (ox0 == ox - 1)
+            row = row + wx * _shift(src, oy, ox)
+        out = out + wy * row
+    return out
+
+
+def _clamp_mac_tile(dst, orig, velx_dt, vely_dt, D, row0, h, w):
+    """Selle clamp on an extended tile (matches
+    ops.window.clamp_component_mac_window)."""
+    th, tw = orig.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    vx = jnp.clip(velx_dt, -D, D)
+    vy = jnp.clip(vely_dt, -D, D)
+
+    def offsets(sign):
+        cx = (xx.astype(F32) + sign * vx).astype(I32)
+        cy = (yy.astype(F32) + sign * vy).astype(I32)
+        return jnp.clip(cx, 0, w - 2) - xx, jnp.clip(cy, 0, h - 2) - yy
+
+    oiM, ojM = offsets(-1.0)
+    oiP, ojP = offsets(1.0)
+
+    minv = jnp.full_like(orig, jnp.inf)
+    maxv = jnp.full_like(orig, -jnp.inf)
+    for oy in range(-D, D + 2):
+        myM = (ojM == oy) | (ojM == oy - 1)
+        myP = (ojP == oy) | (ojP == oy - 1)
+        for ox in range(-D, D + 2):
+            m = (myM & ((oiM == ox) | (oiM == ox - 1))) | (
+                myP & ((oiP == ox) | (oiP == ox - 1))
+            )
+            s = _shift(orig, oy, ox)
+            minv = jnp.where(m, jnp.minimum(minv, s), minv)
+            maxv = jnp.where(m, jnp.maximum(maxv, s), maxv)
+    return jnp.maximum(jnp.minimum(dst, maxv), minv)
+
+
+def _advect_vel_kernel(
+    # scalar prefetch
+    row_starts_ref,
+    # inputs (HBM)
+    u_hbm, v_hbm, flags_hbm,
+    # outputs (blocked VMEM)
+    out_u_ref, out_v_ref,
+    # scratch
+    u_s, v_s, fl_s, sems,
+    *, D, dt, strength, block, halo, h, w,
+):
+    bi = pl.program_id(0)
+    rb = pl.program_id(1)
+    row0 = row_starts_ref[rb]  # clamped global start row of the ext. tile
+    ext = block + 2 * halo
+
+    cp_u = pltpu.make_async_copy(
+        u_hbm.at[bi, pl.ds(row0, ext), :], u_s, sems.at[0]
+    )
+    cp_v = pltpu.make_async_copy(
+        v_hbm.at[bi, pl.ds(row0, ext), :], v_s, sems.at[1]
+    )
+    cp_f = pltpu.make_async_copy(
+        flags_hbm.at[bi, pl.ds(row0, ext), :], fl_s, sems.at[2]
+    )
+    cp_u.start(); cp_v.start(); cp_f.start()
+    cp_u.wait(); cp_v.wait(); cp_f.wait()
+
+    u = u_s[:]
+    v = v_s[:]
+    fluid = fl_s[:] == FLUID
+
+    # Face-centred full velocity vectors (grid.get_at_mac_x/y) with the
+    # global 1-ring border zeroed.
+    mac_x_u = _border_zero(u, row0, h, w)
+    mac_x_v = _border_zero(
+        0.25 * (v + _shift(v, 0, -1) + _shift(v, 1, 0) + _shift(v, 1, -1)),
+        row0, h, w,
+    )
+    mac_y_u = _border_zero(
+        0.25 * (u + _shift(u, -1, 0) + _shift(u, 0, 1) + _shift(u, -1, 1)),
+        row0, h, w,
+    )
+    mac_y_v = _border_zero(v, row0, h, w)
+
+    th, tw = u.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    cx = xx.astype(F32) + 0.5
+    cy = yy.astype(F32) + 0.5
+
+    def semi_lagrange(fu, fv, sdt):
+        su = _interpol_window_tile(
+            fu, cx - sdt * mac_x_u, cy - sdt * mac_x_v, D, row0, h, w
+        )
+        sv = _interpol_window_tile(
+            fv, cx - sdt * mac_y_u, cy - sdt * mac_y_v, D, row0, h, w
+        )
+        return (
+            jnp.where(fluid, su, fu),
+            jnp.where(fluid, sv, fv),
+        )
+
+    fwd_u, fwd_v = semi_lagrange(u, v, dt)
+    fwd_u = _border_zero(fwd_u, row0, h, w)
+    fwd_v = _border_zero(fwd_v, row0, h, w)
+
+    bwd_u, bwd_v = semi_lagrange(fwd_u, fwd_v, -dt)
+    bwd_u = _border_zero(bwd_u, row0, h, w)
+    bwd_v = _border_zero(bwd_v, row0, h, w)
+
+    fl_xm = _shift(fluid, 0, -1)
+    fl_ym = _shift(fluid, -1, 0)
+    skip_u = (~fluid) | ((xx > 0) & (~fl_xm))
+    skip_v = (~fluid) | ((yy > 0) & (~fl_ym))
+    dst_u = jnp.where(skip_u, fwd_u, fwd_u + strength * 0.5 * (u - bwd_u))
+    dst_v = jnp.where(skip_v, fwd_v, fwd_v + strength * 0.5 * (v - bwd_v))
+
+    out_u = _clamp_mac_tile(dst_u, u, mac_x_u * dt, mac_x_v * dt, D, row0, h, w)
+    out_v = _clamp_mac_tile(dst_v, v, mac_y_u * dt, mac_y_v * dt, D, row0, h, w)
+    out_u = _border_zero(out_u, row0, h, w)
+    out_v = _border_zero(out_v, row0, h, w)
+
+    # This program owns global rows [rb*block, rb*block + block); within the
+    # extended tile they start at (rb*block - row0).
+    local0 = rb * block - row0
+    out_u_ref[0] = jax.lax.dynamic_slice(out_u, (local0, 0), (block, tw))
+    out_v_ref[0] = jax.lax.dynamic_slice(out_v, (local0, 0), (block, tw))
+
+
+def advect_velocity_pallas(
+    dt, U, flags, maccormack_strength: float = 0.75,
+    max_disp: int = 4, block: int = 128, interpret: bool = False,
+):
+    """Self-advection of MAC velocity ``U`` (== ops.advection.advect_velocity
+    with orig=U, impl='window'). flags (b,h,w) int32, U (b,2,h,w) f32."""
+    b, _, h, w = U.shape
+    assert h % block == 0, (h, block)
+    halo = max_disp + 2
+    ext = block + 2 * halo
+    n_rb = h // block
+
+    import numpy as np
+
+    row_starts = np.clip(
+        np.arange(n_rb) * block - halo, 0, max(h - ext, 0)
+    ).astype(np.int32)
+
+    kernel = partial(
+        _advect_vel_kernel,
+        D=max_disp, dt=float(dt), strength=float(maccormack_strength),
+        block=block, halo=halo, h=h, w=w,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_rb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, w), lambda bi, rb, rs: (bi, rb, 0)),
+            pl.BlockSpec((1, block, w), lambda bi, rb, rs: (bi, rb, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ext, w), F32),
+            pltpu.VMEM((ext, w), F32),
+            pltpu.VMEM((ext, w), I32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out_u, out_v = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w), F32),
+            jax.ShapeDtypeStruct((b, h, w), F32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(row_starts), U[:, 0], U[:, 1], flags)
+    return jnp.stack([out_u, out_v], axis=1)

@@ -35,3 +35,24 @@ def test_vmem_fits():
 
     assert vmem_fits(512, 512)
     assert not vmem_fits(4096, 4096)
+
+
+def test_advect_velocity_pallas_matches_window(rng):
+    from fluidnet_cxx_tpu.ops.pallas.advect_pallas import (
+        advect_velocity_pallas,
+    )
+
+    flags = random_flags(rng, 1, 32, 32, p_obstacle=0.1)
+    U = (2.0 * rng.standard_normal((1, 2, 32, 32))).astype(np.float32)
+    got = np.asarray(
+        advect_velocity_pallas(
+            0.3, U, flags, 0.6, max_disp=4, block=16, interpret=True
+        )
+    )
+    want = np.asarray(
+        ops.advect_velocity(
+            0.3, U, U, flags, maccormack_strength=0.6,
+            impl="window", max_disp=4,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
