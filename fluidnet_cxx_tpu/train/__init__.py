@@ -1,3 +1,4 @@
+from ..config import TrainConfig
 from .losses import LossTerms, long_term_loss, short_term_losses
 from .trainer import (
     Batch,
@@ -10,6 +11,6 @@ from .trainer import (
 
 __all__ = [
     "LossTerms", "long_term_loss", "short_term_losses",
-    "Batch", "TrainState", "init_train_state", "make_loss_fn",
-    "make_optimizer", "make_train_step",
+    "Batch", "TrainConfig", "TrainState", "init_train_state",
+    "make_loss_fn", "make_optimizer", "make_train_step",
 ]

@@ -64,6 +64,8 @@ def load_train_checkpoint(model_dir: str, template, best: bool = False):
     with the right structure (e.g. freshly initialised)."""
     from .trainer import TrainState
 
+    import orbax.checkpoint as ocp
+
     ck = _ckptr()
     name = "best" if best else "last_epoch"
     payload = {
@@ -73,8 +75,11 @@ def load_train_checkpoint(model_dir: str, template, best: bool = False):
         "epoch": jnp.zeros(()),
         "best_perf": jnp.zeros(()),
     }
+    restore_args = ocp.checkpoint_utils.construct_restore_args(payload)
     restored = ck.restore(
-        os.path.join(os.path.abspath(model_dir), name), item=payload
+        os.path.join(os.path.abspath(model_dir), name),
+        item=payload,
+        restore_args=restore_args,
     )
     ts = TrainState(
         params=restored["params"],
