@@ -15,10 +15,19 @@ if _os.environ.get("FLUIDNET_NO_COMPILE_CACHE") != "1":
     # them across processes.
     import jax as _jax
 
+    # Separate cache namespaces per platform AND per compile host: with the
+    # axon sitecustomize loaded, even CPU compiles go through the remote
+    # compile service, whose AOT results carry that machine's CPU features
+    # and SIGILL-risk on this host.
+    import sys as _sys
+
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    if any(m.startswith("axon") for m in _sys.modules):
+        _plat += "_remote"
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                        "/tmp/fluidnet_jax_cache"),
+                        f"/tmp/fluidnet_jax_cache_{_plat}"),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

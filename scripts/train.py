@@ -18,8 +18,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import yaml
+from functools import partial
 
 
 def main():
@@ -100,23 +102,35 @@ def main():
         if args.resume:
             ts, epoch0, best = load_train_checkpoint(args.modelDir, ts)
             print(f"resumed at step {int(ts.step)}")
-        step = jax.jit(
-            make_on_device_train_step(
-                model, scfg, tc, args.res, args.res,
-                tc.batch_size, args.labelIters, opt,
-            ),
-            donate_argnums=0,
+        inner = make_on_device_train_step(
+            model, scfg, tc, args.res, args.res,
+            tc.batch_size, args.labelIters, opt,
         )
+        CHUNK = 10  # steps fused per dispatch (amortises tunnel latency)
+
+        @partial(jax.jit, donate_argnums=0)
+        def step(ts, key):
+            def body(carry, k):
+                ts, _ = carry
+                ts, terms = inner(ts, k)
+                return (ts, terms), None
+            from fluidnet_cxx_tpu.train.losses import LossTerms
+
+            zero_terms = LossTerms(*([jnp.zeros(())] * 6))
+            (ts, terms), _ = jax.lax.scan(
+                body, (ts, zero_terms), jax.random.split(key, CHUNK)
+            )
+            return ts, terms
         os.makedirs(args.modelDir, exist_ok=True)
         log = LossLogger(os.path.join(args.modelDir, "train_loss.npy"))
         key = jax.random.PRNGKey(4321)
         t0 = time.time()
         window = []
-        for i in range(1, args.onDevice + 1):
+        for i in range(CHUNK, args.onDevice + 1, CHUNK):
             key, sub = jax.random.split(key)
             ts, terms = step(ts, sub)
             window.append(terms)
-            if i % 50 == 0:
+            if i % 50 == 0 or i >= args.onDevice:
                 mean = jax.tree_util.tree_map(
                     lambda *xs: float(np.mean([np.asarray(x) for x in xs])),
                     *window,

@@ -19,7 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-bound on this 1-core
 # host; cached executables cut repeat runs from ~13 min to ~2 min.
-jax.config.update("jax_compilation_cache_dir", "/tmp/fluidnet_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/fluidnet_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
