@@ -241,3 +241,222 @@ def advect_velocity_pallas(
         interpret=interpret,
     )(jnp.asarray(row_starts), U[:, 0], U[:, 1], flags)
     return jnp.stack([out_u, out_v], axis=1)
+
+
+def _interpol_fluid_window_tile(src, fl, pos_x, pos_y, D, row0, h, w):
+    """Fluid-aware bilinear window sample on an extended tile (matches
+    ops.window.interpol_with_fluid_window). ``fl`` is the fluid mask as f32."""
+    th, tw = src.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    cx = xx.astype(F32) + 0.5
+    cy = yy.astype(F32) + 0.5
+    px = jnp.clip(pos_x, cx - D, cx + D) - 0.5
+    py = jnp.clip(pos_y, cy - D, cy + D) - 0.5
+    x0 = jnp.trunc(px).astype(I32)
+    y0 = jnp.trunc(py).astype(I32)
+    s1 = jnp.clip(px - x0.astype(F32), 0.0, 1.0)
+    t1 = jnp.clip(py - y0.astype(F32), 0.0, 1.0)
+    x0 = jnp.clip(x0, 0, w - 2)
+    y0 = jnp.clip(y0, 0, h - 2)
+    ox0 = x0 - xx
+    oy0 = y0 - yy
+    s0, t0 = 1.0 - s1, 1.0 - t1
+
+    zero = jnp.zeros_like(src)
+    Va = Vb = Vc = Vd = zero
+    Fa = Fb = Fc = Fd = zero
+    for oy in range(-D, D + 2):
+        my0 = oy0 == oy
+        my1 = oy0 == oy - 1
+        rV0 = rV1 = rF0 = rF1 = zero
+        for ox in range(-D, D + 2):
+            s = _shift(src, oy, ox)
+            f = _shift(fl, oy, ox)
+            mx0 = ox0 == ox
+            mx1 = ox0 == ox - 1
+            rV0 = rV0 + jnp.where(mx0, s, 0.0)
+            rV1 = rV1 + jnp.where(mx1, s, 0.0)
+            rF0 = rF0 + jnp.where(mx0, f, 0.0)
+            rF1 = rF1 + jnp.where(mx1, f, 0.0)
+        Va = Va + jnp.where(my0, rV0, 0.0)
+        Vb = Vb + jnp.where(my1, rV0, 0.0)
+        Vc = Vc + jnp.where(my0, rV1, 0.0)
+        Vd = Vd + jnp.where(my1, rV1, 0.0)
+        Fa = Fa + jnp.where(my0, rF0, 0.0)
+        Fb = Fb + jnp.where(my1, rF0, 0.0)
+        Fc = Fc + jnp.where(my0, rF1, 0.0)
+        Fd = Fd + jnp.where(my1, rF1, 0.0)
+    Fa, Fb, Fc, Fd = Fa > 0.5, Fb > 0.5, Fc > 0.5, Fd > 0.5
+
+    def comb(va, ba, vb, bb, ta, tb):
+        m0 = (~ba) & (~bb)
+        m1 = (~ba) & bb
+        m2 = ba & (~bb)
+        val = jnp.where(
+            m0, 0.0, jnp.where(m1, vb, jnp.where(m2, va, va * ta + vb * tb))
+        )
+        return val, ~m0
+
+    Iab, fab = comb(Va, Fa, Vb, Fb, t0, t1)
+    Icd, fcd = comb(Vc, Fc, Vd, Fd, t0, t1)
+    Ival, fval = comb(Iab, fab, Icd, fcd, s0, s1)
+    plain = (Va * t0 + Vb * t1) * s0 + (Vc * t0 + Vd * t1) * s1
+    return jnp.where(fval, Ival, plain)
+
+
+def _clamp_scalar_tile(dst, src, fwd, fl_ok, pos_x, pos_y, D, row0, h, w):
+    """3x3 fluid-neighbourhood clamp on an extended tile (matches
+    ops.window.clamp_bounds_scalar_window semantics)."""
+    th, tw = src.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    cx = xx.astype(F32) + 0.5
+    cy = yy.astype(F32) + 0.5
+    px = jnp.clip(pos_x, cx - D, cx + D)
+    py = jnp.clip(pos_y, cy - D, cy + D)
+    i0 = jnp.clip(jnp.trunc(px).astype(I32), 0, w - 1)
+    j0 = jnp.clip(jnp.trunc(py).astype(I32), 0, h - 1)
+    oi0 = i0 - xx
+    oj0 = j0 - yy
+
+    minv = jnp.full_like(src, jnp.inf)
+    maxv = jnp.full_like(src, -jnp.inf)
+    cnt = jnp.zeros_like(src)
+    for oy in range(-D - 1, D + 2):
+        my = jnp.abs(oj0 - oy) <= 1
+        rok = (yy + oy >= 0) & (yy + oy < h)
+        for ox in range(-D - 1, D + 2):
+            m = (
+                my & (jnp.abs(oi0 - ox) <= 1) & rok
+                & (xx + ox >= 0) & (xx + ox < w)
+                & (_shift(fl_ok, oy, ox) > 0.5)
+            )
+            s = _shift(src, oy, ox)
+            minv = jnp.where(m, jnp.minimum(minv, s), minv)
+            maxv = jnp.where(m, jnp.maximum(maxv, s), maxv)
+            cnt = cnt + m.astype(F32)
+    return jnp.where(
+        cnt >= 1.0, jnp.maximum(minv, jnp.minimum(maxv, dst)), fwd
+    )
+
+
+def _advect_scalar_kernel(
+    row_starts_ref,
+    src_hbm, u_hbm, v_hbm, flags_hbm,
+    out_ref,
+    src_s, u_s, v_s, fl_s, sems,
+    *, D, dt, strength, sample_outside, block, halo, h, w,
+):
+    bi = pl.program_id(0)
+    rb = pl.program_id(1)
+    row0 = row_starts_ref[rb]
+    ext = block + 2 * halo
+
+    cps = [
+        pltpu.make_async_copy(r.at[bi, pl.ds(row0, ext), :], s, sems.at[k])
+        for k, (r, s) in enumerate(
+            [(src_hbm, src_s), (u_hbm, u_s), (v_hbm, v_s), (flags_hbm, fl_s)]
+        )
+    ]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    src = src_s[:]
+    u = u_s[:]
+    v = v_s[:]
+    fluid = fl_s[:] == FLUID
+    flf = fluid.astype(F32)
+    fl_ok = flf if not sample_outside else jnp.ones_like(flf)
+
+    # centred velocity, zeroed on the global 1-ring border
+    ccx = _border_zero(0.5 * (u + _shift(u, 0, 1)), row0, h, w)
+    ccy = _border_zero(0.5 * (v + _shift(v, 1, 0)), row0, h, w)
+
+    th, tw = src.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    cx = xx.astype(F32) + 0.5
+    cy = yy.astype(F32) + 0.5
+
+    def semi_lagrange(field, sdt):
+        bx = cx - sdt * ccx
+        by = cy - sdt * ccy
+        if sample_outside:
+            val = _interpol_window_tile(field, bx, by, D, row0, h, w)
+        else:
+            val = _interpol_fluid_window_tile(
+                field, flf, bx, by, D, row0, h, w
+            )
+        return jnp.where(fluid, val, field), bx, by
+
+    fwd, fx, fy = semi_lagrange(src, dt)
+    fwd = _border_zero(fwd, row0, h, w)
+    fwd_px = jnp.where(fluid, fx, cx)
+    fwd_py = jnp.where(fluid, fy, cy)
+
+    bwd, _, _ = semi_lagrange(fwd, -dt)
+    bwd = _border_zero(bwd, row0, h, w)
+
+    dst = jnp.where(fluid, fwd + strength * 0.5 * (src - bwd), fwd)
+    out = _clamp_scalar_tile(
+        dst, src, fwd, fl_ok, fwd_px, fwd_py, D, row0, h, w
+    )
+    # the global border keeps the corrected (uncclamped) value, like the
+    # XLA path
+    bmask = (
+        (xx < 1) | (xx > w - 2) | (yy < 1) | (yy > h - 2)
+    )
+    out = jnp.where(bmask, dst, out)
+
+    local0 = rb * block - row0
+    out_ref[0] = jax.lax.dynamic_slice(out, (local0, 0), (block, tw))
+
+
+def advect_scalar_pallas(
+    dt, src, U, flags, maccormack_strength: float = 0.75,
+    sample_outside_fluid: bool = False, max_disp: int = 4,
+    block: int = 128, interpret: bool = False,
+):
+    """MacCormack scalar advection without the line trace (the straight
+    back-trace variant; == ops.advection.advect_scalar(impl='window',
+    line_trace=False))."""
+    b, h, w = src.shape
+    assert h % block == 0, (h, block)
+    halo = max_disp + 2
+    ext = block + 2 * halo
+    n_rb = h // block
+
+    import numpy as np
+
+    row_starts = np.clip(
+        np.arange(n_rb) * block - halo, 0, max(h - ext, 0)
+    ).astype(np.int32)
+
+    kernel = partial(
+        _advect_scalar_kernel,
+        D=max_disp, dt=float(dt), strength=float(maccormack_strength),
+        sample_outside=bool(sample_outside_fluid),
+        block=block, halo=halo, h=h, w=w,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_rb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec((1, block, w), lambda bi, rb, rs: (bi, rb, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((ext, w), F32),
+            pltpu.VMEM((ext, w), F32),
+            pltpu.VMEM((ext, w), F32),
+            pltpu.VMEM((ext, w), I32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), F32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(row_starts), src, U[:, 0], U[:, 1], flags)

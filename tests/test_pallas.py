@@ -56,3 +56,23 @@ def test_advect_velocity_pallas_matches_window(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_advect_scalar_pallas_matches_window(rng):
+    from fluidnet_cxx_tpu.ops.pallas.advect_pallas import advect_scalar_pallas
+
+    flags = random_flags(rng, 1, 32, 32, p_obstacle=0.1)
+    U = (2.0 * rng.standard_normal((1, 2, 32, 32))).astype(np.float32)
+    rho = rng.random((1, 32, 32)).astype(np.float32)
+    got = np.asarray(
+        advect_scalar_pallas(
+            0.3, rho, U, flags, 0.6, max_disp=4, block=16, interpret=True
+        )
+    )
+    want = np.asarray(
+        ops.advect_scalar(
+            0.3, rho, U, flags, maccormack_strength=0.6,
+            line_trace=False, impl="window", max_disp=4,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
