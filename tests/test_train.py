@@ -110,3 +110,20 @@ def test_dataset_pipeline(tmp_path):
     assert batches[0].U_div.shape == (2, 2, 16, 16)
     b = sample_to_batch(batches[0])
     assert b.flags.dtype == jnp.int32
+
+
+def test_on_device_train_step_reduces_loss():
+    from fluidnet_cxx_tpu.train.trainer import make_on_device_train_step
+
+    model = FluidNet(ModelConfig())
+    tc = TrainConfig(batch_size=4, div_lt_lambda=0.0, lr=2e-3)
+    sc = SimConfig(dt=0.1, jacobi_iter=8, advection_impl="gather")
+    opt = make_optimizer(tc)
+    ts = init_train_state(model, jax.random.PRNGKey(0), tc, 24, 24, opt)
+    step = jax.jit(make_on_device_train_step(model, sc, tc, 24, 24, 4, 60, opt))
+    losses = []
+    for i in range(10):
+        ts, terms = step(ts, jax.random.PRNGKey(i))
+        losses.append(float(terms.total))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
