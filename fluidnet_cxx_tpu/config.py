@@ -25,6 +25,7 @@ class SimConfig:
     gravity_vec: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     operating_density: float = 0.0
     viscosity: float = 0.0
+    vorticity_confinement: float = 0.0
     correct_scalar: bool = False
     p_tol: float = 0.0
     jacobi_iter: int = 34

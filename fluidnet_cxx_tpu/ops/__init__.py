@@ -16,6 +16,7 @@ from .source_terms import (
     add_buoyancy,
     add_gravity,
     add_viscosity,
+    add_vorticity_confinement,
     correct_scalar,
 )
 from .stencils import (
@@ -33,7 +34,8 @@ __all__ = [
     "curl2d", "get_at_mac_x", "get_at_mac_y", "get_centered", "get_dx",
     "interpol", "interpol_component", "interpol_with_fluid",
     "solve_jacobi", "solve_jacobi_fixed", "calc_line_trace",
-    "add_buoyancy", "add_gravity", "add_viscosity", "correct_scalar",
+    "add_buoyancy", "add_gravity", "add_viscosity",
+    "add_vorticity_confinement", "correct_scalar",
     "empty_domain", "flags_to_occupancy", "set_wall_bcs",
     "set_wall_bcs_stick", "velocity_divergence", "velocity_update",
 ]

@@ -85,3 +85,40 @@ def correct_scalar(dt, src, div, flags):
     """Variable-density correction: rho += dt*0.5*rho*div in fluid cells
     (Guermond–Salgado; ref: pytorch/lib/fluid/cpp/advection.py:9-12)."""
     return jnp.where(flags == FLUID, src + dt * 0.5 * src * div, src)
+
+
+def add_vorticity_confinement(U, flags, strength, dt):
+    """Vorticity confinement (Fedkiw et al.): re-inject small-scale swirl
+    lost to numerical diffusion.
+
+    f = eps * dx * (N x omega),  N = grad|omega| / ||grad|omega|||
+
+    The original FluidNet carries this op (ref: solver_cpp/src/
+    fluidnet_implementation/tfluids.cpp:1298) but the reference never
+    re-implemented it in its vectorised stack; provided here as an optional
+    source term. Applied on interior fluid faces; 2-D (omega is the scalar
+    z-vorticity at cell centres).
+    """
+    from .grid import curl2d
+
+    _, h, w = flags.shape
+    u, v = U[:, 0], U[:, 1]
+    fl = flags == FLUID
+
+    omega = curl2d(U)  # (b, h, w), zero border
+    mag = jnp.abs(omega)
+    # centred gradient of |omega|
+    gx = 0.5 * (nb(mag, 0, 1) - nb(mag, 0, -1))
+    gy = 0.5 * (nb(mag, 1, 0) - nb(mag, -1, 0))
+    norm = jnp.sqrt(gx * gx + gy * gy) + 1e-12
+    nx_, ny_ = gx / norm, gy / norm
+    # N x omega (2-D: (Ny*w, -Nx*w)) at cell centres
+    fx = ny_ * omega
+    fy = -nx_ * omega
+    # average to faces, scale, apply on interior fluid faces
+    fx_face = 0.5 * (fx + nb(fx, 0, -1))
+    fy_face = 0.5 * (fy + nb(fy, -1, 0))
+    cont = fl & (~border_mask(h, w, 1))
+    u = jnp.where(cont & nb(fl, 0, -1), u + strength * dt * fx_face, u)
+    v = jnp.where(cont & nb(fl, -1, 0), v + strength * dt * fy_face, v)
+    return jnp.stack([u, v], axis=1)

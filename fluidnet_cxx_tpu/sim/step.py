@@ -23,6 +23,7 @@ from ..ops.source_terms import (
     add_buoyancy,
     add_gravity,
     add_viscosity,
+    add_vorticity_confinement,
     correct_scalar,
 )
 from ..ops.stencils import (
@@ -135,6 +136,11 @@ def simulate_step(
             )
         if cfg.gravity_scale > 0:
             U = add_gravity(U, flags, gvec * (-cfg.gravity_scale), dt)
+
+    if cfg.vorticity_confinement > 0:
+        U = add_vorticity_confinement(
+            U, flags, cfg.vorticity_confinement, dt
+        )
 
     if output_div:
         return state._replace(U=U, density=rho)
