@@ -47,6 +47,9 @@ class SimConfig:
     # obstacles it only affects a ring near the walls; disabling it there
     # trades that for a large speedup.
     line_trace: bool = True
+    # Use the fused Pallas kernels (VMEM-resident Jacobi + advection) where
+    # shapes are eligible. Requires a real TPU (no CPU interpret dispatch).
+    use_pallas: bool = False
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -100,9 +100,7 @@ def _clamp_mac_tile(dst, orig, velx_dt, vely_dt, D, row0, h, w):
 
 
 def _advect_vel_kernel(
-    # scalar prefetch
-    row_starts_ref,
-    # inputs (HBM)
+    # inputs (HBM, padded by ``halo`` rows top+bottom)
     u_hbm, v_hbm, flags_hbm,
     # outputs (blocked VMEM)
     out_u_ref, out_v_ref,
@@ -112,24 +110,27 @@ def _advect_vel_kernel(
 ):
     bi = pl.program_id(0)
     rb = pl.program_id(1)
-    row0 = row_starts_ref[rb]  # clamped global start row of the ext. tile
+    # In padded coordinates the extended tile starts at rb*block; its first
+    # row corresponds to global row rb*block - halo.
+    row0 = rb * block - halo
     ext = block + 2 * halo
 
     cp_u = pltpu.make_async_copy(
-        u_hbm.at[bi, pl.ds(row0, ext), :], u_s, sems.at[0]
+        u_hbm.at[bi, pl.ds(rb * block, ext), :], u_s, sems.at[0]
     )
     cp_v = pltpu.make_async_copy(
-        v_hbm.at[bi, pl.ds(row0, ext), :], v_s, sems.at[1]
+        v_hbm.at[bi, pl.ds(rb * block, ext), :], v_s, sems.at[1]
     )
     cp_f = pltpu.make_async_copy(
-        flags_hbm.at[bi, pl.ds(row0, ext), :], fl_s, sems.at[2]
+        flags_hbm.at[bi, pl.ds(rb * block, ext), :], fl_s, sems.at[2]
     )
     cp_u.start(); cp_v.start(); cp_f.start()
     cp_u.wait(); cp_v.wait(); cp_f.wait()
 
     u = u_s[:]
     v = v_s[:]
-    fluid = fl_s[:] == FLUID
+    fluidf = jnp.where(fl_s[:] == FLUID, 1.0, 0.0)  # f32 mask: Mosaic
+    fluid = fluidf > 0.5                            # dislikes i1 shifts
 
     # Face-centred full velocity vectors (grid.get_at_mac_x/y) with the
     # global 1-ring border zeroed.
@@ -170,8 +171,8 @@ def _advect_vel_kernel(
     bwd_u = _border_zero(bwd_u, row0, h, w)
     bwd_v = _border_zero(bwd_v, row0, h, w)
 
-    fl_xm = _shift(fluid, 0, -1)
-    fl_ym = _shift(fluid, -1, 0)
+    fl_xm = _shift(fluidf, 0, -1) > 0.5
+    fl_ym = _shift(fluidf, -1, 0) > 0.5
     skip_u = (~fluid) | ((xx > 0) & (~fl_xm))
     skip_v = (~fluid) | ((yy > 0) & (~fl_ym))
     dst_u = jnp.where(skip_u, fwd_u, fwd_u + strength * 0.5 * (u - bwd_u))
@@ -182,38 +183,35 @@ def _advect_vel_kernel(
     out_u = _border_zero(out_u, row0, h, w)
     out_v = _border_zero(out_v, row0, h, w)
 
-    # This program owns global rows [rb*block, rb*block + block); within the
-    # extended tile they start at (rb*block - row0).
-    local0 = rb * block - row0
-    out_u_ref[0] = jax.lax.dynamic_slice(out_u, (local0, 0), (block, tw))
-    out_v_ref[0] = jax.lax.dynamic_slice(out_v, (local0, 0), (block, tw))
+    # This program owns global rows [rb*block, rb*block + block), which sit
+    # at the static offset ``halo`` inside the extended tile.
+    out_u_ref[0] = out_u[halo:halo + block, :]
+    out_v_ref[0] = out_v[halo:halo + block, :]
 
 
 def advect_velocity_pallas(
     dt, U, flags, maccormack_strength: float = 0.75,
-    max_disp: int = 4, block: int = 128, interpret: bool = False,
+    max_disp: int = 4, block: int = 64, interpret: bool = False,
 ):
     """Self-advection of MAC velocity ``U`` (== ops.advection.advect_velocity
     with orig=U, impl='window'). flags (b,h,w) int32, U (b,2,h,w) f32."""
     b, _, h, w = U.shape
     assert h % block == 0, (h, block)
-    halo = max_disp + 2
+    halo = -(-(max_disp + 2) // 8) * 8  # 8-row aligned for Mosaic DMA
     ext = block + 2 * halo
     n_rb = h // block
 
-    import numpy as np
-
-    row_starts = np.clip(
-        np.arange(n_rb) * block - halo, 0, max(h - ext, 0)
-    ).astype(np.int32)
+    pad = ((0, 0), (halo, halo), (0, 0))
+    u_p = jnp.pad(U[:, 0], pad)
+    v_p = jnp.pad(U[:, 1], pad)
+    fl_p = jnp.pad(flags, pad)
 
     kernel = partial(
         _advect_vel_kernel,
         D=max_disp, dt=float(dt), strength=float(maccormack_strength),
         block=block, halo=halo, h=h, w=w,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(b, n_rb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -221,8 +219,8 @@ def advect_velocity_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, block, w), lambda bi, rb, rs: (bi, rb, 0)),
-            pl.BlockSpec((1, block, w), lambda bi, rb, rs: (bi, rb, 0)),
+            pl.BlockSpec((1, block, w), lambda bi, rb: (bi, rb, 0)),
+            pl.BlockSpec((1, block, w), lambda bi, rb: (bi, rb, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((ext, w), F32),
@@ -238,8 +236,11 @@ def advect_velocity_pallas(
             jax.ShapeDtypeStruct((b, h, w), F32),
         ],
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(jnp.asarray(row_starts), U[:, 0], U[:, 1], flags)
+    )(u_p, v_p, fl_p)
     return jnp.stack([out_u, out_v], axis=1)
 
 
@@ -342,7 +343,6 @@ def _clamp_scalar_tile(dst, src, fwd, fl_ok, pos_x, pos_y, D, row0, h, w):
 
 
 def _advect_scalar_kernel(
-    row_starts_ref,
     src_hbm, u_hbm, v_hbm, flags_hbm,
     out_ref,
     src_s, u_s, v_s, fl_s, sems,
@@ -350,11 +350,13 @@ def _advect_scalar_kernel(
 ):
     bi = pl.program_id(0)
     rb = pl.program_id(1)
-    row0 = row_starts_ref[rb]
+    row0 = rb * block - halo  # global row of the ext. tile's first row
     ext = block + 2 * halo
 
     cps = [
-        pltpu.make_async_copy(r.at[bi, pl.ds(row0, ext), :], s, sems.at[k])
+        pltpu.make_async_copy(
+            r.at[bi, pl.ds(rb * block, ext), :], s, sems.at[k]
+        )
         for k, (r, s) in enumerate(
             [(src_hbm, src_s), (u_hbm, u_s), (v_hbm, v_s), (flags_hbm, fl_s)]
         )
@@ -367,8 +369,8 @@ def _advect_scalar_kernel(
     src = src_s[:]
     u = u_s[:]
     v = v_s[:]
-    fluid = fl_s[:] == FLUID
-    flf = fluid.astype(F32)
+    flf = jnp.where(fl_s[:] == FLUID, 1.0, 0.0)
+    fluid = flf > 0.5
     fl_ok = flf if not sample_outside else jnp.ones_like(flf)
 
     # centred velocity, zeroed on the global 1-ring border
@@ -411,29 +413,28 @@ def _advect_scalar_kernel(
     )
     out = jnp.where(bmask, dst, out)
 
-    local0 = rb * block - row0
-    out_ref[0] = jax.lax.dynamic_slice(out, (local0, 0), (block, tw))
+    out_ref[0] = out[halo:halo + block, :]
 
 
 def advect_scalar_pallas(
     dt, src, U, flags, maccormack_strength: float = 0.75,
     sample_outside_fluid: bool = False, max_disp: int = 4,
-    block: int = 128, interpret: bool = False,
+    block: int = 64, interpret: bool = False,
 ):
     """MacCormack scalar advection without the line trace (the straight
     back-trace variant; == ops.advection.advect_scalar(impl='window',
     line_trace=False))."""
     b, h, w = src.shape
     assert h % block == 0, (h, block)
-    halo = max_disp + 2
+    halo = -(-(max_disp + 2) // 8) * 8  # 8-row aligned for Mosaic DMA
     ext = block + 2 * halo
     n_rb = h // block
 
-    import numpy as np
-
-    row_starts = np.clip(
-        np.arange(n_rb) * block - halo, 0, max(h - ext, 0)
-    ).astype(np.int32)
+    pad = ((0, 0), (halo, halo), (0, 0))
+    src_p = jnp.pad(src, pad)
+    u_p = jnp.pad(U[:, 0], pad)
+    v_p = jnp.pad(U[:, 1], pad)
+    fl_p = jnp.pad(flags, pad)
 
     kernel = partial(
         _advect_scalar_kernel,
@@ -441,11 +442,10 @@ def advect_scalar_pallas(
         sample_outside=bool(sample_outside_fluid),
         block=block, halo=halo, h=h, w=w,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(b, n_rb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=pl.BlockSpec((1, block, w), lambda bi, rb, rs: (bi, rb, 0)),
+        out_specs=pl.BlockSpec((1, block, w), lambda bi, rb: (bi, rb, 0)),
         scratch_shapes=[
             pltpu.VMEM((ext, w), F32),
             pltpu.VMEM((ext, w), F32),
@@ -458,5 +458,8 @@ def advect_scalar_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w), F32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(jnp.asarray(row_starts), src, U[:, 0], U[:, 1], flags)
+    )(src_p, u_p, v_p, fl_p)

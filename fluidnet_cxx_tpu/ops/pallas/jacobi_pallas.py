@@ -33,16 +33,17 @@ def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int):
     flags = flags_ref[:]
     div = div_ref[:]
 
-    ob = flags == OBSTACLE
+    obf = jnp.where(flags == OBSTACLE, 1.0, 0.0)  # f32 mask: Mosaic
+    ob = obf > 0.5                                # dislikes i1 shifts
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     border = (xx < 1) | (xx > w - 2) | (yy < 1) | (yy > h - 2)
     cont = ~(border | ob)
 
-    ob_xm = _shift(ob, 0, -1)
-    ob_xp = _shift(ob, 0, 1)
-    ob_ym = _shift(ob, -1, 0)
-    ob_yp = _shift(ob, 1, 0)
+    ob_xm = _shift(obf, 0, -1) > 0.5
+    ob_xp = _shift(obf, 0, 1) > 0.5
+    ob_ym = _shift(obf, -1, 0) > 0.5
+    ob_yp = _shift(obf, 1, 0) > 0.5
 
     def sweep(_, p):
         p1 = jnp.where(ob_xm, p, _shift(p, 0, -1))

@@ -88,6 +88,14 @@ def simulate_step(
     flags = state.flags
     U, p, rho = state.U, state.p, state.density
     dt = cfg.dt if dyn is None else dyn.dt
+    b, h, w = flags.shape
+    # Pallas fast-path eligibility (fused kernels; see ops/pallas/).
+    pallas_ok = (
+        cfg.use_pallas
+        and dyn is None          # kernels take python-float dt
+        and h % 128 == 0
+        and w % 128 == 0
+    )
 
     # Viscosity: the viscous field is advected by the (non-divergent) U from
     # the previous step (ref: simulate.py:66-93).
@@ -97,28 +105,48 @@ def simulate_step(
         orig = U
 
     if cfg.advect_density:
-        rho = advect_scalar(
-            dt, rho, U, flags,
-            method=cfg.advection_method,
-            bnd=1,
-            sample_outside_fluid=cfg.sample_outside_fluid,
-            maccormack_strength=cfg.maccormack_strength,
-            impl=cfg.advection_impl,
-            max_disp=cfg.max_disp,
-            line_trace=cfg.line_trace,
-        )
+        if pallas_ok and not cfg.line_trace and cfg.advection_method != "eulerFluidNet":
+            from ..ops.pallas.advect_pallas import advect_scalar_pallas
+
+            rho = advect_scalar_pallas(
+                cfg.dt, rho, U, flags,
+                maccormack_strength=cfg.maccormack_strength,
+                sample_outside_fluid=cfg.sample_outside_fluid,
+                max_disp=cfg.max_disp,
+            )
+        else:
+            rho = advect_scalar(
+                dt, rho, U, flags,
+                method=cfg.advection_method,
+                bnd=1,
+                sample_outside_fluid=cfg.sample_outside_fluid,
+                maccormack_strength=cfg.maccormack_strength,
+                impl=cfg.advection_impl,
+                max_disp=cfg.max_disp,
+                line_trace=cfg.line_trace,
+            )
         if cfg.correct_scalar:
             div = velocity_divergence(U, flags)
             rho = correct_scalar(dt, rho, div, flags)
 
-    U = advect_velocity(
-        dt, orig, U, flags,
-        method=cfg.advection_method,
-        bnd=1,
-        maccormack_strength=cfg.maccormack_strength,
-        impl=cfg.advection_impl,
-        max_disp=cfg.max_disp,
-    )
+    if pallas_ok and cfg.viscosity == 0 and cfg.advection_method != "eulerFluidNet":
+        # self-advection fused kernel (orig is U when inviscid)
+        from ..ops.pallas.advect_pallas import advect_velocity_pallas
+
+        U = advect_velocity_pallas(
+            cfg.dt, U, flags,
+            maccormack_strength=cfg.maccormack_strength,
+            max_disp=cfg.max_disp,
+        )
+    else:
+        U = advect_velocity(
+            dt, orig, U, flags,
+            method=cfg.advection_method,
+            bnd=1,
+            maccormack_strength=cfg.maccormack_strength,
+            impl=cfg.advection_impl,
+            max_disp=cfg.max_disp,
+        )
 
     U, rho = apply_const_vals(state, U, rho)
 
@@ -155,6 +183,13 @@ def simulate_step(
         div = velocity_divergence(U, flags)
         if cfg.p_tol > 0:
             p, _ = solve_jacobi(flags, div, cfg.p_tol, cfg.jacobi_iter)
+        elif pallas_ok:
+            from ..ops.pallas.jacobi_pallas import solve_jacobi_pallas, vmem_fits
+
+            if vmem_fits(h, w):
+                p = solve_jacobi_pallas(flags, div, cfg.jacobi_iter)
+            else:
+                p = solve_jacobi_fixed(flags, div, cfg.jacobi_iter)
         else:
             p = solve_jacobi_fixed(flags, div, cfg.jacobi_iter)
         U = velocity_update(p, U, flags)
