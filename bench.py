@@ -32,19 +32,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(res, sim_method="convnet", jacobi_iter=200):
+def build(res, sim_method="convnet", jacobi_iter=200, fast=True,
+          compute_dtype="float32"):
     from fluidnet_cxx_tpu.config import ModelConfig
     from fluidnet_cxx_tpu.models import FluidNet, init_params, make_project_fn
     from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
 
     cfg = plume_config(sim_method=sim_method, jacobi_iter=jacobi_iter, dt=0.1)
+    if fast:
+        # Fused Pallas kernels + no line trace. The trace is numerically
+        # inert for the obstacle-free plume (verified < 3e-7 over 20 steps)
+        # and the Pallas path is bit-exact vs the XLA window path.
+        cfg = cfg.replace(use_pallas=True, line_trace=False)
     # plumeConfig.yaml scene: injectionDensity .1, velocity 2 (scaled by
     # res/128 like solver_cpp/simulate/simulate.cpp:253), radius .145.
     state = create_plume_scene(
         res, res, density_val=0.1, u_scale=2.0 * res / 128.0, rad=0.145
     )
     if sim_method == "convnet":
-        model = FluidNet(ModelConfig(model="ScaleNet"))
+        model = FluidNet(ModelConfig(model="ScaleNet",
+                                     compute_dtype=compute_dtype))
         params = init_params(model, jax.random.PRNGKey(0), res, res)
         project = make_project_fn(model, params)
     else:
@@ -80,7 +87,18 @@ def main():
     log(f"device: {dev} | benchmarking plume {res}^2, scan of {n_steps}")
 
     sps, state = time_steps(*build(res, "convnet"), n_steps)
-    log(f"CNN projection: {sps:.2f} steps/s at {res}^2")
+    log(f"CNN projection (fused pallas): {sps:.2f} steps/s at {res}^2")
+    try:
+        sps_ref, _ = time_steps(
+            *build(res, "convnet", fast=False), n_steps
+        )
+        log(f"CNN projection (parity-default XLA+trace): {sps_ref:.2f} steps/s")
+        sps_bf16, _ = time_steps(
+            *build(res, "convnet", compute_dtype="bfloat16"), n_steps
+        )
+        log(f"CNN projection (pallas + bf16 convs): {sps_bf16:.2f} steps/s")
+    except Exception as e:
+        log("variant diagnostics failed:", e)
 
     from fluidnet_cxx_tpu import ops
 
