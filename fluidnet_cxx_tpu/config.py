@@ -9,7 +9,7 @@ subset into a hashable, jit-static ``SimConfig`` dataclass.
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import yaml
 

@@ -9,8 +9,6 @@ the whole step differentiable.
 Convolutions run in NHWC (TPU-preferred); the state API stays (b, 2, h, w) /
 (b, h, w) and is converted at the model boundary.
 """
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from .grid import (
     get_at_mac_y,
     get_centered,
     interpol,
-    interpol_component,
     interpol_with_fluid,
 )
 from .line_trace import calc_line_trace

@@ -13,8 +13,6 @@ Array layout convention (TPU-native, differs from the reference's 5-D
 ``w`` (x) is the innermost/lane axis, ``h`` (y) the sublane axis, which is the
 layout XLA:TPU tiles best for 128-multiple grids.
 """
-from functools import partial
-
 import jax.numpy as jnp
 
 F32 = jnp.float32

@@ -13,8 +13,6 @@ positions are clamped to the window otherwise.
 D (``max_disp``) is a static kernel parameter; default 4 covers dt*|u| up to
 4 cells/step, far beyond the shipped configs' CFL numbers.
 """
-from functools import partial
-
 import jax.numpy as jnp
 
 from ..celltype import FLUID

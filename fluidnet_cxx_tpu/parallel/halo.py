@@ -12,7 +12,6 @@ explicit version pins the communication pattern to one column per sweep.
 """
 from functools import partial
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P

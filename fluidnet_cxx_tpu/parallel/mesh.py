@@ -9,9 +9,6 @@ here the "backend" is XLA collectives over ICI via jax.sharding. Two axes:
   of sequence parallelism for a stencil code; motivates the 8000x800
   cylinder domain, ref: pytorch/cylinder.py:163-164).
 """
-import math
-from typing import Tuple
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -10,7 +10,6 @@ import time
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..state import SimState

@@ -12,9 +12,8 @@ Simulation: SimState snapshots ({fields, it}) for --restartSim
 import dataclasses
 import json
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,15 +20,14 @@ does act — is reproduced exactly.
 Optimiser: Adam + reduce-on-plateau LR schedule (factor 0.6, patience 10,
 rel threshold 3e-4; ref: fluid_net_train.py:197,206).
 """
-from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from optax.contrib import reduce_on_plateau
 
-from ..config import ModelConfig, SimConfig, TrainConfig
+from ..config import SimConfig, TrainConfig
 from ..models.fluidnet import FluidNet
 from ..sim.step import DynParams, simulate_step
 from ..state import SimState

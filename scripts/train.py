@@ -32,6 +32,8 @@ def main():
                     help="generate N synthetic scenes into dataDir first")
     ap.add_argument("--modelDir", default="out/model")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--resetOpt", action="store_true",
+                    help="on resume, keep params but reinitialise optimizer")
     ap.add_argument("--maxEpochs", type=int, default=None)
     ap.add_argument("--bsz", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
@@ -46,8 +48,6 @@ def main():
     args = ap.parse_args()
 
     from fluidnet_cxx_tpu.config import (
-        ModelConfig,
-        SimConfig,
         model_config_from_mconf,
         sim_config_from_mconf,
         train_config_from_yaml,
@@ -91,7 +91,6 @@ def main():
     if args.onDevice:
         from fluidnet_cxx_tpu.train.trainer import make_on_device_train_step
         from fluidnet_cxx_tpu.train.checkpoint import save_train_checkpoint
-        from fluidnet_cxx_tpu.models import FluidNet as _FN
 
         model = FluidNet(mcfg)
         opt = make_optimizer(tc, steps_per_epoch=50)
@@ -100,7 +99,17 @@ def main():
         )
         epoch0, best = 0, float("inf")
         if args.resume:
-            ts, epoch0, best = load_train_checkpoint(args.modelDir, ts)
+            from fluidnet_cxx_tpu.train.trainer import TrainState
+
+            ts, epoch0, best = load_train_checkpoint(
+                args.modelDir, ts, best=args.resetOpt
+            )
+            if args.resetOpt:
+                import jax.numpy as jnp
+
+                ts = TrainState(ts.params, opt.init(ts.params),
+                                jnp.zeros((), jnp.int32))
+                best = float("inf")
             print(f"resumed at step {int(ts.step)}")
         inner = make_on_device_train_step(
             model, scfg, tc, args.res, args.res,
