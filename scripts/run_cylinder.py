@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--jacobiIter", type=int, default=34)
     ap.add_argument("--outputFolder", default="out/cylinder")
     ap.add_argument("--restartSim", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="fused Pallas kernels where eligible")
     args = ap.parse_args()
 
     from fluidnet_cxx_tpu.sim import create_cylinder_scene, cylinder_config
@@ -46,6 +48,8 @@ def main():
         inlet_vel=args.inletVel, reynolds=args.re,
     )
     cfg = cylinder_config(viscosity, jacobi_iter=args.jacobiIter)
+    if args.fast:
+        cfg = cfg.replace(use_pallas=True)
     print(f"cylinder {args.resX}x{args.resY}, Re={args.re}, nu={viscosity:.3f}")
 
     it0 = 0

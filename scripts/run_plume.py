@@ -25,6 +25,10 @@ def main():
                     help="trained-model dir (for simMethod=convnet)")
     ap.add_argument("--outputFolder", default="out/plume")
     ap.add_argument("--restartSim", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="fused Pallas kernels + no line trace (bit-exact "
+                         "kernels; the trace is inert without interior "
+                         "obstacles)")
     ap.add_argument("--simMethod", default=None,
                     choices=[None, "convnet", "jacobi"])
     ap.add_argument("--resX", type=int, default=None)
@@ -64,6 +68,8 @@ def main():
         yaml.safe_dump(conf, f)
 
     cfg = sim_config_from_mconf(conf).replace(sim_method=method)
+    if args.fast:
+        cfg = cfg.replace(use_pallas=True, line_trace=False)
 
     project = None
     if method == "convnet":

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--simConf", default=None)
     ap.add_argument("--outputFolder", default="out/rt")
     ap.add_argument("--restartSim", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="fused Pallas kernels + no line trace (bit-exact "
+                         "kernels; the trace is inert without interior "
+                         "obstacles)")
     ap.add_argument("--maxIter", type=int, default=None)
     args = ap.parse_args()
 
@@ -60,6 +64,8 @@ def main():
     cfg = sim_config_from_mconf(conf).replace(
         sim_method=conf.get("simMethod", "jacobi")
     )
+    if args.fast:
+        cfg = cfg.replace(use_pallas=True, line_trace=False)
 
     state = create_rayleigh_taylor_scene(
         res_x, res_y,
