@@ -76,3 +76,35 @@ def test_advect_scalar_pallas_matches_window(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_step_pallas_fast_path_matches_xla(monkeypatch):
+    """simulate_step(use_pallas=True) == the XLA window path (interpret
+    mode; grids must be 128-divisible for the fast path)."""
+    from jax.experimental import pallas as pl
+
+    from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    state = create_plume_scene(128, 128, density_val=0.1, u_scale=2.0,
+                               rad=0.145)
+    cfg_x = plume_config(jacobi_iter=8, line_trace=False)
+    cfg_p = cfg_x.replace(use_pallas=True)
+    s_x = simulate_step(cfg_x, state)
+    s_p = simulate_step(cfg_p, state)
+    np.testing.assert_allclose(
+        np.asarray(s_p.U), np.asarray(s_x.U), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p.density), np.asarray(s_x.density), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p.p), np.asarray(s_x.p), atol=1e-5
+    )
