@@ -60,15 +60,43 @@ def _random_obstacles(key, b, h, w, max_spheres=3):
     return jnp.where(any_inside, OBSTACLE, flags).astype(jnp.int32)
 
 
+def _gaussian_bumps(key, b, h, w, n=3, sigma_frac=(0.02, 0.12)):
+    """Sum of n random Gaussian bumps per sample, unit peak amplitude each."""
+    ks = jax.random.split(key, 4)
+    cx = jax.random.uniform(ks[0], (b, n, 1, 1), minval=0.1 * w, maxval=0.9 * w)
+    cy = jax.random.uniform(ks[1], (b, n, 1, 1), minval=0.1 * h, maxval=0.9 * h)
+    sg = jax.random.uniform(ks[2], (b, n, 1, 1), minval=sigma_frac[0] * w,
+                            maxval=sigma_frac[1] * w)
+    amp = jax.random.uniform(ks[3], (b, n, 1, 1), minval=-1.0, maxval=1.0)
+    X = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    Y = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    g = amp * jnp.exp(-((X - cx) ** 2 + (Y - cy) ** 2) / (2 * sg**2))
+    return jnp.sum(g, axis=1)
+
+
 def generate_batch(key, b: int, h: int, w: int, jacobi_iters: int = 600):
-    """Returns a Sample of (divergent input, projected target) pairs."""
-    k_u, k_v, k_rho, k_obs, k_amp = jax.random.split(key, 5)
+    """Returns a Sample of (divergent input, projected target) pairs.
+
+    Field mix: band-limited smooth noise (generic turbulence-like states) plus
+    localized Gaussian jets and density blobs (plume/inlet-like states), so
+    the learned projection sees both regimes.
+    """
+    k_u, k_v, k_rho, k_obs, k_amp, k_ju, k_jv, k_blob, k_jamp = (
+        jax.random.split(key, 9)
+    )
     amp = jax.random.uniform(k_amp, (b, 1, 1), minval=0.5, maxval=4.0)
-    u = _smooth_noise(k_u, b, h, w) * amp
-    v = _smooth_noise(k_v, b, h, w) * amp
+    jet_amp = jax.random.uniform(k_jamp, (b, 1, 1), minval=0.0, maxval=4.0)
+    u = _smooth_noise(k_u, b, h, w) * amp + _gaussian_bumps(k_ju, b, h, w) * jet_amp
+    v = _smooth_noise(k_v, b, h, w) * amp + _gaussian_bumps(k_jv, b, h, w) * jet_amp
     U_div = jnp.stack([u, v], axis=1)
     flags = _random_obstacles(k_obs, b, h, w)
-    density = jnp.clip(_smooth_noise(k_rho, b, h, w) * 0.5 + 0.5, 0.0, 1.0)
+    density = jnp.clip(
+        _smooth_noise(k_rho, b, h, w) * 0.5
+        + 0.5
+        + _gaussian_bumps(k_blob, b, h, w),
+        0.0,
+        1.0,
+    )
     density = jnp.where(flags == FLUID, density, 0.0)
 
     U_div = set_wall_bcs(U_div, flags)
