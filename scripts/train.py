@@ -105,8 +105,6 @@ def main():
                 args.modelDir, ts, best=args.resetOpt
             )
             if args.resetOpt:
-                import jax.numpy as jnp
-
                 ts = TrainState(ts.params, opt.init(ts.params),
                                 jnp.zeros((), jnp.int32))
                 best = float("inf")
