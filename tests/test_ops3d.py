@@ -123,3 +123,23 @@ def test_step3_smoke():
     yy = np.arange(h)[None, :, None]
     com = (r * yy).sum() / max(r.sum(), 1e-9)
     assert com > 4.2  # blob (initial y-com ~3.5) has risen
+
+
+def test_simulate_step3():
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.sim.step3d import create_state3, simulate_step3
+    from fluidnet_cxx_tpu.sim import plume_config
+
+    state = create_state3(1, 16, 24, 16)
+    rho = np.zeros((1, 16, 24, 16), np.float32)
+    rho[0, 6:10, 2:6, 6:10] = 1.0
+    state = state._replace(density=jnp.asarray(rho))
+    cfg = plume_config(jacobi_iter=40, dt=0.4)
+    step = jax.jit(lambda s: simulate_step3(cfg, s))
+    for _ in range(10):
+        state = step(state)
+    r = np.asarray(state.density)[0]
+    assert np.isfinite(r).all()
+    yy = np.arange(24)[None, :, None]
+    assert (r * yy).sum() / max(r.sum(), 1e-9) > 4.0  # blob rose
