@@ -1,0 +1,70 @@
+"""Config system + reference-layout converters."""
+import numpy as np
+
+from fluidnet_cxx_tpu.config import (
+    load_config,
+    merge_cli_overrides,
+    model_config_from_mconf,
+    save_config,
+    sim_config_from_mconf,
+    train_config_from_yaml,
+)
+from fluidnet_cxx_tpu.state import (
+    create_state,
+    from_reference_layout,
+    to_reference_layout,
+)
+
+
+def test_sim_config_from_reference_mconf():
+    mconf = {
+        "dt": 0.5, "maccormackStrength": 0.6, "buoyancyScale": 1.0,
+        "gravityVec": {"x": 0.0, "y": 1.0, "z": 0.0}, "pTol": 0.0,
+        "jacobiIter": 200, "periodic-y": True, "viscosity": 0.25,
+    }
+    cfg = sim_config_from_mconf(mconf)
+    assert cfg.dt == 0.5 and cfg.periodic_y and not cfg.periodic_x
+    assert cfg.gravity_vec == (0.0, 1.0, 0.0)
+    assert cfg.viscosity == 0.25
+
+
+def test_model_and_train_config_from_yaml_shape():
+    conf = {
+        "batchSize": 16,
+        "modelParam": {
+            "model": "ScaleNet",
+            "inputChannels": {"div": False, "pDiv": True, "UDiv": False},
+            "lr": 1e-4, "divLongTermLambda": 0.5,
+            "longTermDivNumSteps": [2, 8],
+        },
+    }
+    mcfg = model_config_from_mconf(conf["modelParam"])
+    assert mcfg.model == "ScaleNet" and mcfg.input_p_div
+    assert mcfg.in_dims == 2  # pDiv + occupancy
+    tc = train_config_from_yaml(conf)
+    assert tc.batch_size == 16 and tc.lt_num_steps == (2, 8)
+    assert tc.div_lt_lambda == 0.5
+
+
+def test_cli_overrides_and_persistence(tmp_path):
+    conf = {"a": 1, "b": 2}
+    merged = merge_cli_overrides(conf, {"b": 3, "c": None})
+    assert merged == {"a": 1, "b": 3}
+    p = str(tmp_path / "conf.json")
+    save_config(merged, p)
+    assert load_config(p) == {"a": 1, "b": 3}
+
+
+def test_reference_layout_roundtrip(rng):
+    state = create_state(2, 12, 16)
+    state = state._replace(
+        U=state.U + rng.standard_normal((2, 2, 12, 16)).astype(np.float32)
+    )
+    p5, U5, flags5, rho5 = to_reference_layout(state)
+    assert p5.shape == (2, 1, 1, 12, 16)
+    assert U5.shape == (2, 2, 1, 12, 16)
+    state2 = from_reference_layout(p5, U5, flags5, rho5)
+    np.testing.assert_array_equal(np.asarray(state.U), np.asarray(state2.U))
+    np.testing.assert_array_equal(
+        np.asarray(state.flags), np.asarray(state2.flags)
+    )
