@@ -45,6 +45,9 @@ def main():
                          "(no host dataset; fastest on TPU)")
     ap.add_argument("--labelIters", type=int, default=600,
                     help="Jacobi iterations for on-device labels")
+    ap.add_argument("--evalSelect", action="store_true",
+                    help="select the best checkpoint by a closed-loop plume "
+                         "rollout divergence metric instead of train loss")
     args = ap.parse_args()
 
     from fluidnet_cxx_tpu.config import (
@@ -131,6 +134,39 @@ def main():
         os.makedirs(args.modelDir, exist_ok=True)
         log = LossLogger(os.path.join(args.modelDir, "train_loss.npy"))
         key = jax.random.PRNGKey(4321)
+
+        eval_rollout = None
+        if args.evalSelect:
+            # Closed-loop selection metric: mean |div| over non-inlet fluid
+            # cells after a 400-step plume rollout with the candidate params
+            # (training loss alone selects one-step overfits; see RESULTS.md).
+            from fluidnet_cxx_tpu import ops as _ops
+            from fluidnet_cxx_tpu.sim import (
+                create_plume_scene,
+                plume_config,
+                simulate_step,
+            )
+
+            eval_state0 = create_plume_scene(
+                args.res, args.res, density_val=0.1, u_scale=2.0, rad=0.145
+            )
+            cfg_eval = plume_config(sim_method="convnet")
+            fl_mask = (eval_state0.flags == 1) & (
+                eval_state0.U_bc_inv_mask[:, 1] > 0.5
+            )
+
+            @jax.jit
+            def eval_rollout(params):
+                project = lambda p, U, f, r: model.apply(params, p, U, f, r)
+
+                def body(s, _):
+                    return simulate_step(cfg_eval, s, project_fn=project), None
+
+                s, _ = jax.lax.scan(
+                    body, eval_state0, None, length=400
+                )
+                div = _ops.velocity_divergence(s.U, s.flags)
+                return jnp.sum(jnp.abs(div) * fl_mask) / jnp.sum(fl_mask)
         t0 = time.time()
         window = []
         for i in range(CHUNK, args.onDevice + 1, CHUNK):
@@ -145,14 +181,19 @@ def main():
                 window = []
                 log.append(i, mean)
                 log.save()
-                is_best = mean.total < best
-                best = min(best, mean.total)
+                if eval_rollout is not None:
+                    metric = float(eval_rollout(ts.params))
+                else:
+                    metric = mean.total
+                is_best = metric < best
+                best = min(best, metric)
                 save_train_checkpoint(
                     args.modelDir, ts, i, best, mcfg, is_best=is_best
                 )
                 print(
                     f"step {i}/{args.onDevice}: loss {mean.total:.5f} "
                     f"(divL2 {mean.div_l2:.5f} divLT {mean.div_lt:.5f}) "
+                    f"metric {metric:.6f}{' *best*' if is_best else ''} "
                     f"{50/(time.time()-t0):.2f} steps/s",
                     flush=True,
                 )
