@@ -127,6 +127,10 @@ def sim_config_from_mconf(mconf: Dict[str, Any]) -> SimConfig:
         jacobi_iter=int(_g(mconf, "jacobiIter", 34)),
         periodic_x=bool(_g(mconf, "periodic-x", False)),
         periodic_y=bool(_g(mconf, "periodic-y", False)),
+        advection_method=str(
+            _g(mconf, "advectionMethod", "maccormackFluidNet")
+        ),
+        vorticity_confinement=float(_g(mconf, "vorticityConfinement", 0.0)),
         sim_method=str(_g(mconf, "simMethod", "jacobi")),
     )
 
