@@ -58,7 +58,7 @@ class SimConfig:
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Network architecture parameters (ref: trainConfig.yaml:55-95)."""
-    model: str = "FluidNet"  # 'FluidNet' | 'ScaleNet'
+    model: str = "FluidNet"  # 'FluidNet' | 'ScaleNet' | 'PUNet'
     input_div: bool = True
     input_p_div: bool = False
     input_u_div: bool = False
@@ -69,6 +69,21 @@ class ModelConfig:
     # Conv compute dtype: 'float32' (default, reference parity) or
     # 'bfloat16' (MXU fast path; params stay f32, in/out stay f32).
     compute_dtype: str = "float32"
+    # PUNet (TPU-native multigrid projection, models/punet.py) knobs.
+    # Defaults are the measured 512^2 speed/quality sweet spot: per-conv op
+    # overhead on v5e is ~30-45 us regardless of spatial size, so op COUNT
+    # (not FLOPs) sets the forward time; patch-8 puts all convs at <= h/8
+    # (fwd 0.34 ms at 512^2) and Jacobi polish sweeps supply the sub-patch
+    # pressure detail a full-res refine stack would cost 0.5 ms for.
+    punet_patch: int = 8
+    punet_widths: Tuple[int, ...] = (128, 128)
+    punet_level_convs: int = 1
+    punet_bottleneck_convs: int = 3
+    punet_refine_ch: int = 8
+    punet_refine_convs: int = 0
+    # Warm-started Jacobi sweeps applied to the predicted (normalised)
+    # pressure inside the projection — kills the max|div| tail. 0 = off.
+    polish_sweeps: int = 0
 
     @property
     def in_dims(self) -> int:

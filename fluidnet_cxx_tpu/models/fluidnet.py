@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.jacobi import solve_jacobi_fixed
 from ..ops.stencils import (
     flags_to_occupancy,
     set_wall_bcs,
@@ -21,6 +22,7 @@ from ..ops.stencils import (
     velocity_update,
 )
 from .multi_scale import MultiScaleNet
+from .punet import PUNet
 
 
 def scale_std(x, threshold: float):
@@ -62,7 +64,7 @@ def assemble_inputs(cfg: ModelConfig, p, U, flags, density):
         feats.append(div / s3)
     feats.append(flags_to_occupancy(flags))
     x = jnp.stack(feats, axis=-1)  # NHWC
-    return x, s
+    return x, s, div
 
 
 class FluidNetTower(nn.Module):
@@ -125,8 +127,18 @@ class FluidNet(nn.Module):
 
     @nn.compact
     def __call__(self, p, U, flags, density, deterministic: bool = True):
-        x, s = assemble_inputs(self.cfg, p, U, flags, density)
-        if self.cfg.model == "ScaleNet":
+        x, s, div = assemble_inputs(self.cfg, p, U, flags, density)
+        if self.cfg.model == "PUNet":
+            p_hat = PUNet(
+                patch=self.cfg.punet_patch,
+                widths=self.cfg.punet_widths,
+                level_convs=self.cfg.punet_level_convs,
+                bottleneck_convs=self.cfg.punet_bottleneck_convs,
+                refine_ch=self.cfg.punet_refine_ch,
+                refine_convs=self.cfg.punet_refine_convs,
+                dtype=self.cfg.compute_dtype,
+            )(x, deterministic=deterministic)
+        elif self.cfg.model == "ScaleNet":
             p_hat = MultiScaleNet(
                 dropout=self.cfg.dropout, dtype=self.cfg.compute_dtype
             )(x, deterministic=deterministic)
@@ -139,6 +151,15 @@ class FluidNet(nn.Module):
         # In-model projection on the NORMALISED fields (ref: model.py:213-218
         # updates the scaled UDiv), then undo the scale (ref: model.py:221-223).
         s3 = s[:, None, None]
+
+        # Optional warm-started Jacobi polish on the normalised pressure:
+        # a few smoother sweeps kill the high-frequency divergence tail the
+        # CNN leaves behind (multigrid view: CNN = coarse-grid correction,
+        # sweeps = smoother). Differentiable; ~1.4 us/sweep at 512^2.
+        if self.cfg.polish_sweeps > 0:
+            p_hat = solve_jacobi_fixed(
+                flags, div / s3, self.cfg.polish_sweeps, p0=p_hat
+            )
         U_scaled = U / s3[:, None]
         U_new = velocity_update(p_hat, U_scaled, flags)
         p_out = p_hat * s3

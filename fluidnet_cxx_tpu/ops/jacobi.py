@@ -49,10 +49,14 @@ def _residual(p_new, p_old):
     return jnp.max(jnp.sqrt(jnp.sum(d * d, axis=1)))
 
 
-def solve_jacobi_fixed(flags, div, iters: int, with_residual: bool = False):
-    """Run exactly ``iters`` Jacobi sweeps from p0 = 0. Differentiable."""
+def solve_jacobi_fixed(flags, div, iters: int, with_residual: bool = False,
+                       p0=None):
+    """Run exactly ``iters`` Jacobi sweeps from ``p0`` (default 0).
+    Differentiable. A non-zero ``p0`` warm-starts the solve — used to polish
+    a CNN-predicted pressure with a few cheap sweeps."""
     sweep = _sweep_maker(flags, div)
-    p0 = jnp.zeros_like(div)
+    if p0 is None:
+        p0 = jnp.zeros_like(div)
 
     if not with_residual:
         p = jax.lax.fori_loop(0, iters, lambda _, p: sweep(p), p0)

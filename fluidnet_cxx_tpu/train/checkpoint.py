@@ -90,7 +90,11 @@ def load_train_checkpoint(model_dir: str, template, best: bool = False):
 
 def load_model_config(model_dir: str) -> ModelConfig:
     with open(os.path.join(model_dir, "model_config.json")) as f:
-        return ModelConfig(**json.load(f))
+        d = json.load(f)
+    # JSON has no tuples; tuple-typed fields (punet_widths) must come back
+    # hashable so ModelConfig stays jit-static.
+    d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+    return ModelConfig(**d)
 
 
 # ---------------------------------------------------------------- simulation

@@ -97,3 +97,48 @@ def test_input_channel_variants(inputs):
         model, params = build("FluidNet", **kw)
         p_out, U_out = model.apply(params, p, U, flags, rho)
         assert np.isfinite(np.asarray(p_out)).all()
+
+
+def test_punet_forward_and_grads(inputs):
+    """PUNet flagship: shapes, finiteness, gradient flow, s2d round-trip."""
+    from fluidnet_cxx_tpu.models import depth_to_space, space_to_depth
+
+    p, U, flags, rho = inputs
+    x = np.random.default_rng(3).standard_normal((2, 8, 8, 3)).astype(
+        np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(jnp.asarray(x), 4), 4)), x)
+
+    model, params = build("PUNet", punet_widths=(16, 32), punet_patch=4,
+                          compute_dtype="bfloat16")
+    p_out, U_out = jax.jit(lambda *a: model.apply(params, *a))(
+        p, U, flags, rho)
+    assert p_out.shape == p.shape and U_out.shape == U.shape
+    assert p_out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(p_out)).all()
+
+    def loss(params):
+        _, U_out = model.apply(params, p, U, flags, rho)
+        return jnp.mean(ops.velocity_divergence(U_out, flags) ** 2)
+
+    g = jax.grad(loss)(model.init(jax.random.PRNGKey(1), p, U, flags, rho))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in leaves)
+
+
+def test_polish_sweeps_reduce_divergence(inputs):
+    """polish_sweeps must strictly reduce post-projection divergence for an
+    untrained net, and a large sweep count must approach the Jacobi answer."""
+    p, U, flags, rho = inputs
+    base, params = build("PUNet", punet_widths=(16, 32), punet_patch=4)
+    div0 = None
+    norms = {}
+    for sweeps in (0, 8, 64):
+        model = FluidNet(base.cfg.__class__(**{
+            **base.cfg.__dict__, "polish_sweeps": sweeps}))
+        _, U_out = model.apply(params, p, U, flags, rho)
+        d = np.asarray(ops.velocity_divergence(U_out, flags))
+        norms[sweeps] = np.sqrt((d ** 2).mean())
+    assert norms[8] < norms[0]
+    assert norms[64] < norms[8]
