@@ -24,6 +24,10 @@ def load_manta_file(path: str, use_native: bool = True):
         if out is not None:
             p, U, flags, density = out
             return p, U, flags, density, False
+        out = native.load_manta_bin3d(path)
+        if out is not None:
+            p, U, flags, density = out
+            return p, U, flags, density, True
     with open(path, "rb") as f:
         head = struct.unpack("i" * 5, f.read(20))
         _, nx, ny, nz, is3d_i = head
@@ -65,5 +69,20 @@ def save_manta_file(path: str, p, U, flags, density):
         f.write(np.asarray(U[0], np.float32).tobytes())
         f.write(np.asarray(U[1], np.float32).tobytes())
         f.write(np.asarray(p, np.float32).tobytes())
+        f.write(np.asarray(flags, np.int32).tobytes())
+        f.write(np.asarray(density, np.float32).tobytes())
+
+
+def save_manta_file3d(path: str, p, U, flags, density):
+    """Write a 3-D snapshot in the Manta .bin layout: header then Ux, Uy, p,
+    Uz, flags, density (Uz comes AFTER p for is3D files,
+    ref: pytorch/lib/load_manta_data.py:16-24)."""
+    d, h, w = p.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("i" * 5, 0, w, h, d, 1))
+        f.write(np.asarray(U[0], np.float32).tobytes())
+        f.write(np.asarray(U[1], np.float32).tobytes())
+        f.write(np.asarray(p, np.float32).tobytes())
+        f.write(np.asarray(U[2], np.float32).tobytes())
         f.write(np.asarray(flags, np.int32).tobytes())
         f.write(np.asarray(density, np.float32).tobytes())

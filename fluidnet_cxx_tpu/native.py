@@ -78,6 +78,35 @@ def load_manta_bin2d(path: str):
     return p, U, flags, rho
 
 
+def load_manta_bin3d(path: str):
+    """Fast 3-D .bin parse; returns (p, U, flags, density) with shapes
+    (d,h,w) / (3,d,h,w), or None on failure/2-D file."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nx = ctypes.c_int32()
+    ny = ctypes.c_int32()
+    nz = ctypes.c_int32()
+    is3d = ctypes.c_int32()
+    if lib.manta_bin_header(
+        path.encode(), ctypes.byref(nx), ctypes.byref(ny),
+        ctypes.byref(nz), ctypes.byref(is3d),
+    ) != 0 or is3d.value != 1:
+        return None
+    d, h, w = nz.value, ny.value, nx.value
+    p = np.empty((d, h, w), np.float32)
+    U = np.empty((3, d, h, w), np.float32)
+    flags = np.empty((d, h, w), np.int32)
+    rho = np.empty((d, h, w), np.float32)
+    rc = lib.manta_bin_load3d(
+        path.encode(), _float_p(p), _float_p(U), _int_p(flags),
+        _float_p(rho), d, h, w,
+    )
+    if rc != 0:
+        return None
+    return p, U, flags, rho
+
+
 # -------------------------------------------------- C++ oracle wrappers
 
 def velocity_divergence(U, flags):

@@ -65,6 +65,31 @@ int manta_bin_load2d(const char* path, float* p, float* U, int32_t* flags,
   return 0;
 }
 
+// 3-D variant. Blob order per the reference reader is Ux, Uy, p, THEN Uz
+// (after p) for is3D files, then flags, density
+// (ref: pytorch/lib/load_manta_data.py:16-24). Buffers: p/flags/density
+// d*h*w, U 3*d*h*w, all (nz, ny, nx) row-major. The leading `transpose`
+// header word is read and ignored, exactly like the reference does.
+int manta_bin_load3d(const char* path, float* p, float* U, int32_t* flags,
+                     float* density, int32_t d, int32_t h, int32_t w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int32_t head[5];
+  if (fread(head, 4, 5, f) != 5) { fclose(f); return -2; }
+  const int64_t n = (int64_t)head[1] * head[2] * head[3];
+  if (head[4] != 1 || head[1] != w || head[2] != h || head[3] != d) {
+    fclose(f);
+    return -3;  // dims mismatch or 2-D file
+  }
+  if (fread(U, 4, 2 * n, f) != (size_t)(2 * n)) { fclose(f); return -4; }
+  if (fread(p, 4, n, f) != (size_t)n) { fclose(f); return -4; }
+  if (fread(U + 2 * n, 4, n, f) != (size_t)n) { fclose(f); return -4; }
+  if (fread(flags, 4, n, f) != (size_t)n) { fclose(f); return -4; }
+  if (fread(density, 4, n, f) != (size_t)n) { fclose(f); return -4; }
+  fclose(f);
+  return 0;
+}
+
 // ---------------------------------------------------------------- stencils
 
 #define AT(a, j, i) (a)[(int64_t)(j) * w + (i)]
