@@ -11,7 +11,7 @@ computation (differentiable except through the scalar line trace).
 import jax.numpy as jnp
 
 from ..celltype import FLUID
-from .common import F32, I32, border_mask, cell_index_grid, gather2d
+from .common import F32, I32, border_mask, cell_index_grid, gather2d, nb
 from .grid import (
     get_at_mac_x,
     get_at_mac_y,
@@ -232,13 +232,14 @@ def advect_velocity(
 
     # Correction with per-face fluid-neighbour skip masks
     # (ref: fluids_init.cpp:453-498).
+    # Neighbour flags via shifts, not gathers: a gather on flags forces
+    # GSPMD to all-gather the whole array under width sharding (and runs on
+    # the scalar core), while a 1-cell roll lowers to a halo
+    # collective-permute. The wrapped column/row is masked out by the
+    # (xx > 0) / (yy > 0) guards below.
     xx, yy = cell_index_grid(b, h, w)
-    fl_xm = (
-        gather2d(flags, yy, jnp.maximum(xx - 1, 0)) == FLUID
-    )
-    fl_ym = (
-        gather2d(flags, jnp.maximum(yy - 1, 0), xx) == FLUID
-    )
+    fl_xm = nb(flags, 0, -1) == FLUID
+    fl_ym = nb(flags, -1, 0) == FLUID
     skip_u = (~fluid) | ((xx > 0) & (~fl_xm))
     skip_v = (~fluid) | ((yy > 0) & (~fl_ym))
 

@@ -91,3 +91,30 @@ def test_data_parallel_train_step():
     # gradient sync: params stay replicated and identical across devices
     leaf = jax.tree_util.tree_leaves(ts2.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_sharded_step_collectives_are_halo_width():
+    """VERDICT r1 #7: under sx sharding the whole step must lower to
+    halo-width collective-permutes — no full-shard all-gathers (a gather on
+    flags used to force one)."""
+    import re
+
+    from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
+
+    H = W = 64
+    mesh = make_mesh(8, dp=1, sx=8)
+    cfg = plume_config(jacobi_iter=8)
+    state = create_plume_scene(H, W)
+    shardings = state_sharding(mesh, state)
+    state = jax.device_put(state, shardings)
+    txt = (
+        jax.jit(lambda s: simulate_step(cfg, s), in_shardings=(shardings,))
+        .lower(state).compile().as_text()
+    )
+    local = H * (W // 8)
+    for m in re.finditer(r"= (\S+) (all-gather|all-to-all)\(", txt):
+        shape = m.group(1)
+        dims = [int(x) for x in
+                re.findall(r"\d+", shape.split("[")[1].split("]")[0])]
+        elems = int(np.prod(dims)) if dims else 0
+        assert elems < local, f"full-shard {m.group(2)}: {shape}"
