@@ -31,6 +31,7 @@ class SimConfig:
     jacobi_iter: int = 34
     periodic_x: bool = False
     periodic_y: bool = False
+    periodic_z: bool = False  # 3-D only
     advection_method: str = "maccormackFluidNet"
     sim_method: str = "jacobi"  # 'jacobi' | 'convnet'
     # Sampling engine: 'window' (bounded-window shifts, the TPU fast path,
@@ -84,6 +85,10 @@ class ModelConfig:
     # Warm-started Jacobi sweeps applied to the predicted (normalised)
     # pressure inside the projection — kills the max|div| tail. 0 = off.
     polish_sweeps: int = 0
+    # Sweep engine: 'xla' (differentiable, any backend) or 'pallas' (the
+    # VMEM-resident kernel, ~1.8 us/sweep at 512^2 on v5e vs ~7 us for XLA;
+    # inference-only — pallas_call has no autodiff rule here).
+    polish_impl: str = "xla"
 
     @property
     def in_dims(self) -> int:
@@ -142,6 +147,7 @@ def sim_config_from_mconf(mconf: Dict[str, Any]) -> SimConfig:
         jacobi_iter=int(_g(mconf, "jacobiIter", 34)),
         periodic_x=bool(_g(mconf, "periodic-x", False)),
         periodic_y=bool(_g(mconf, "periodic-y", False)),
+        periodic_z=bool(_g(mconf, "periodic-z", False)),
         advection_method=str(
             _g(mconf, "advectionMethod", "maccormackFluidNet")
         ),
@@ -152,6 +158,7 @@ def sim_config_from_mconf(mconf: Dict[str, Any]) -> SimConfig:
 
 def model_config_from_mconf(mconf: Dict[str, Any]) -> ModelConfig:
     ic = _g(mconf, "inputChannels", {})
+    defaults = ModelConfig()
     return ModelConfig(
         model=str(_g(mconf, "model", "FluidNet")),
         input_div=bool(_g(ic, "div", True)),
@@ -162,6 +169,24 @@ def model_config_from_mconf(mconf: Dict[str, Any]) -> ModelConfig:
         normalize_input_threshold=float(
             _g(mconf, "normalizeInputThreshold", 1e-5)
         ),
+        compute_dtype=str(_g(mconf, "computeDtype", defaults.compute_dtype)),
+        punet_patch=int(_g(mconf, "punetPatch", defaults.punet_patch)),
+        punet_widths=tuple(
+            int(x) for x in _g(mconf, "punetWidths", defaults.punet_widths)
+        ),
+        punet_level_convs=int(
+            _g(mconf, "punetLevelConvs", defaults.punet_level_convs)
+        ),
+        punet_bottleneck_convs=int(
+            _g(mconf, "punetBottleneckConvs", defaults.punet_bottleneck_convs)
+        ),
+        punet_refine_ch=int(
+            _g(mconf, "punetRefineCh", defaults.punet_refine_ch)
+        ),
+        punet_refine_convs=int(
+            _g(mconf, "punetRefineConvs", defaults.punet_refine_convs)
+        ),
+        polish_sweeps=int(_g(mconf, "polishSweeps", defaults.polish_sweeps)),
     )
 
 

@@ -9,9 +9,11 @@ from .fluidnet import (
 )
 from .multi_scale import MultiScaleNet
 from .punet import PUNet, depth_to_space, space_to_depth
+from .punet3d import FluidNet3, PUNet3, init_params3, make_project_fn3
 
 __all__ = [
-    "FluidNet", "FluidNetTower", "MultiScaleNet", "PUNet",
-    "assemble_inputs", "depth_to_space", "init_params", "make_project_fn",
-    "scale_std", "space_to_depth", "summary",
+    "FluidNet", "FluidNet3", "FluidNetTower", "MultiScaleNet", "PUNet",
+    "PUNet3", "assemble_inputs", "depth_to_space", "init_params",
+    "init_params3", "make_project_fn", "make_project_fn3", "scale_std",
+    "space_to_depth", "summary",
 ]

@@ -157,9 +157,16 @@ class FluidNet(nn.Module):
         # CNN leaves behind (multigrid view: CNN = coarse-grid correction,
         # sweeps = smoother). Differentiable; ~1.4 us/sweep at 512^2.
         if self.cfg.polish_sweeps > 0:
-            p_hat = solve_jacobi_fixed(
-                flags, div / s3, self.cfg.polish_sweeps, p0=p_hat
-            )
+            if self.cfg.polish_impl == "pallas":
+                from ..ops.pallas.jacobi_pallas import solve_jacobi_pallas
+
+                p_hat = solve_jacobi_pallas(
+                    flags, div / s3, self.cfg.polish_sweeps, p0=p_hat
+                )
+            else:
+                p_hat = solve_jacobi_fixed(
+                    flags, div / s3, self.cfg.polish_sweeps, p0=p_hat
+                )
         U_scaled = U / s3[:, None]
         U_new = velocity_update(p_hat, U_scaled, flags)
         p_out = p_hat * s3

@@ -28,7 +28,7 @@ def _shift(a, dy: int, dx: int):
     return a
 
 
-def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int):
+def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int, p0_ref=None):
     h, w = div_ref.shape
     flags = flags_ref[:]
     div = div_ref[:]
@@ -52,30 +52,35 @@ def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int):
         p4 = jnp.where(ob_yp, p, _shift(p, 1, 0))
         return jnp.where(cont, (p1 + p2 + p3 + p4 + div) * 0.25, 0.0)
 
-    p_ref[:] = jax.lax.fori_loop(
-        0, iters, sweep, jnp.zeros((h, w), jnp.float32)
-    )
+    init = (jnp.zeros((h, w), jnp.float32) if p0_ref is None
+            else p0_ref[:])
+    p_ref[:] = jax.lax.fori_loop(0, iters, sweep, init)
 
 
-def solve_jacobi_pallas(flags, div, iters: int):
+def solve_jacobi_pallas(flags, div, iters: int, p0=None):
     """Fixed-iteration Jacobi, one VMEM-resident Pallas program per batch
-    sample. Inputs: flags (b, h, w) int32, div (b, h, w) f32."""
+    sample. Inputs: flags (b, h, w) int32, div (b, h, w) f32. A non-zero
+    ``p0`` warm-starts the solve (the learned-projection polish path)."""
     b, h, w = div.shape
     kernel = partial(_jacobi_kernel, iters=iters)
+    block = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    n_in = 2 if p0 is None else 3
     grid_spec = pl.GridSpec(
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[block() for _ in range(n_in)],
+        out_specs=block(),
     )
 
-    def kernel3(flags_ref, div_ref, p_ref):
-        kernel(flags_ref.at[0], div_ref.at[0], p_ref.at[0])
+    if p0 is None:
+        def kernel3(flags_ref, div_ref, p_ref):
+            kernel(flags_ref.at[0], div_ref.at[0], p_ref.at[0])
+        args = (flags, div)
+    else:
+        def kernel3(flags_ref, div_ref, p0_ref, p_ref):
+            kernel(flags_ref.at[0], div_ref.at[0], p_ref.at[0],
+                   p0_ref=p0_ref.at[0])
+        args = (flags, div, p0)
 
     return pl.pallas_call(
         kernel3,
@@ -83,10 +88,10 @@ def solve_jacobi_pallas(flags, div, iters: int):
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=10 * iters * b * h * w,
-            bytes_accessed=(3 * b * h * w) * 4,
+            bytes_accessed=(3 + (p0 is not None)) * b * h * w * 4,
             transcendentals=0,
         ),
-    )(flags, div)
+    )(*args)
 
 
 def vmem_fits(h: int, w: int, budget_bytes: int = 12 * 1024 * 1024) -> bool:

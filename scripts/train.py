@@ -39,7 +39,13 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--res", type=int, default=128,
                     help="grid size for synthetic data")
-    ap.add_argument("--model", default=None, choices=["FluidNet", "ScaleNet"])
+    ap.add_argument("--model", default=None,
+                    choices=["FluidNet", "ScaleNet", "PUNet"])
+    ap.add_argument("--polishSweeps", type=int, default=None,
+                    help="warm-started Jacobi polish sweeps inside the "
+                         "learned projection (ModelConfig.polish_sweeps)")
+    ap.add_argument("--evalRes", type=int, default=None,
+                    help="plume resolution for --evalSelect (default: --res)")
     ap.add_argument("--onDevice", type=int, default=0,
                     help="train N steps with batches generated on-device "
                          "(no host dataset; fastest on TPU)")
@@ -88,6 +94,8 @@ def main():
         tc = dataclasses.replace(tc, lr=args.lr)
     if args.model:
         mconf["model"] = args.model
+    if args.polishSweeps is not None:
+        mconf["polishSweeps"] = args.polishSweeps
     mcfg = model_config_from_mconf(mconf)
     scfg = sim_config_from_mconf(mconf)
 
@@ -147,8 +155,10 @@ def main():
                 simulate_step,
             )
 
+            eres = args.evalRes or args.res
             eval_state0 = create_plume_scene(
-                args.res, args.res, density_val=0.1, u_scale=2.0, rad=0.145
+                eres, eres, density_val=0.1, u_scale=2.0 * eres / 128.0,
+                rad=0.145,
             )
             cfg_eval = plume_config(sim_method="convnet")
             fl_mask = (eval_state0.flags == 1) & (

@@ -108,3 +108,27 @@ def test_step_pallas_fast_path_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(s_p.p), np.asarray(s_x.p), atol=1e-5
     )
+
+
+def test_jacobi_pallas_warm_start_matches_xla(rng, monkeypatch):
+    """p0 warm start (the learned-projection polish path) == XLA p0 path."""
+    from jax.experimental import pallas as pl
+
+    from fluidnet_cxx_tpu.ops.pallas import jacobi_pallas as jp
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    flags = random_flags(rng, 2, 16, 24, p_obstacle=0.1)
+    U = rng.standard_normal((2, 2, 16, 24)).astype(np.float32)
+    div = np.asarray(ops.velocity_divergence(U, flags))
+    p0 = rng.standard_normal(div.shape).astype(np.float32)
+
+    got = np.asarray(jp.solve_jacobi_pallas(flags, div, 12, p0=p0))
+    want = np.asarray(ops.solve_jacobi_fixed(flags, div, 12, p0=p0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
