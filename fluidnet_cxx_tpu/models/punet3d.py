@@ -1,0 +1,134 @@
+"""PUNet3: the learned 3-D pressure projection (beyond-reference).
+
+3-D twin of models/punet.py — the reference has no working 3-D path at all
+(ref: README.md:31), let alone a learned 3-D projection. Same multigrid
+shape: space-to-depth patchify so every convolution runs at <= side/patch
+with MXU-wide channel counts, U-Net over depth-halved levels, 1x1 head +
+depth-to-space, and warm-started Jacobi polish sweeps (applied by the
+FluidNet3 wrapper) for sub-patch detail.
+
+At 128^3 with patch 4: all 3x3x3 convolutions run at <= 32^3 with >= 128
+channels — the channel contraction maps onto the MXU; the full-resolution
+field is only touched by the zero-FLOP reshapes.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import ops3d
+
+
+def space_to_depth3(x, p: int):
+    """(b, d, h, w, c) -> (b, d/p, h/p, w/p, p^3*c). Pure reshape."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // p, p, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, d // p, h // p, w // p, p * p * p * c)
+
+
+def depth_to_space3(x, p: int):
+    """Inverse of space_to_depth3."""
+    b, d, h, w, cp = x.shape
+    c = cp // (p * p * p)
+    x = x.reshape(b, d, h, w, p, p, p, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d * p, h * p, w * p, c)
+
+
+class PUNet3(nn.Module):
+    """Learned 3-D Poisson solve: (b,d,h,w,C) features -> (b,d,h,w,1)."""
+    patch: int = 4
+    widths: tuple = (96, 128)
+    level_convs: int = 1
+    bottleneck_convs: int = 2
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        del deterministic
+        conv = lambda ch, k, name, s=1: nn.Conv(
+            ch, (k, k, k), strides=(s, s, s), padding="SAME",
+            dtype=self.dtype, name=name)
+
+        x = space_to_depth3(x, self.patch)
+        x = nn.relu(conv(self.widths[0], 1, "embed")(x))
+
+        skips = []
+        for i, wd in enumerate(self.widths):
+            if i > 0:
+                x = nn.relu(conv(wd, 3, f"down{i}", s=2)(x))
+            for j in range(self.level_convs):
+                x = nn.relu(conv(wd, 3, f"enc{i}_{j}")(x))
+            skips.append(x)
+
+        for j in range(self.bottleneck_convs):
+            x = nn.relu(conv(self.widths[-1], 3, f"mid{j}")(x))
+
+        for i in range(len(self.widths) - 2, -1, -1):
+            wd = self.widths[i]
+            x = conv(8 * wd, 1, f"up{i}")(x)
+            x = depth_to_space3(x, 2)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+            for j in range(self.level_convs):
+                x = nn.relu(conv(wd, 3, f"dec{i}_{j}")(x))
+
+        x = conv(self.patch ** 3, 1, "head")(x)
+        p = depth_to_space3(x, self.patch)
+        return p.astype(jnp.float32)
+
+
+class FluidNet3(nn.Module):
+    """Full learned 3-D projection wrapper (twin of models.FluidNet):
+    assemble (div, occupancy) -> PUNet3 -> optional Jacobi polish ->
+    velocity_update3 -> un-scale -> set_wall_bcs3. Differentiable."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, p, U, flags, density, deterministic: bool = True):
+        from ..ops.stencils import flags_to_occupancy  # enum-only, dim-free
+        from .fluidnet import scale_std
+
+        div = ops3d.velocity_divergence3(U, flags)
+        if self.cfg.normalize_input:
+            chan = {"pDiv": p, "UDiv": U, "div": div}[
+                self.cfg.normalize_input_chan]
+            s = scale_std(chan, self.cfg.normalize_input_threshold)
+        else:
+            s = jnp.ones((p.shape[0],), jnp.float32)
+        s4 = s[:, None, None, None]
+
+        x = jnp.stack([div / s4, flags_to_occupancy(flags)], axis=-1)
+        p_hat = PUNet3(
+            patch=self.cfg.punet_patch,
+            widths=self.cfg.punet_widths,
+            level_convs=self.cfg.punet_level_convs,
+            bottleneck_convs=self.cfg.punet_bottleneck_convs,
+            dtype=self.cfg.compute_dtype,
+        )(x, deterministic=deterministic)[..., 0]
+
+        if self.cfg.polish_sweeps > 0:
+            p_hat = ops3d.solve_jacobi_fixed3(
+                flags, div / s4, self.cfg.polish_sweeps, p0=p_hat
+            )
+        U_new = ops3d.velocity_update3(p_hat, U / s4[:, None], flags)
+        p_out = p_hat * s4
+        U_new = ops3d.set_wall_bcs3(U_new * s4[:, None], flags)
+        return p_out, U_new
+
+
+def init_params3(model: FluidNet3, key, d: int = 32, h: int = 32,
+                 w: int = 32):
+    p = jnp.zeros((1, d, h, w), jnp.float32)
+    U = jnp.zeros((1, 3, d, h, w), jnp.float32)
+    flags = jnp.ones((1, d, h, w), jnp.int32)
+    rho = jnp.zeros((1, d, h, w), jnp.float32)
+    return model.init(key, p, U, flags, rho)
+
+
+def make_project_fn3(model: FluidNet3, params, deterministic: bool = True):
+    def project(p, U, flags, density):
+        return model.apply(
+            params, p, U, flags, density, deterministic=deterministic
+        )
+    return project

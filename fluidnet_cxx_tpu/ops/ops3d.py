@@ -14,7 +14,7 @@ Advection uses gather sampling (a 3-D window engine is future work).
 import jax
 import jax.numpy as jnp
 
-from ..celltype import EMPTY, FLUID, OBSTACLE
+from ..celltype import EMPTY, FLUID, OBSTACLE, STICK
 from .common import F32, I32
 
 _AXES = ((0, 0, 1), (0, 1, 0), (1, 0, 0))  # (dz, dy, dx) per channel
@@ -107,6 +107,82 @@ def set_wall_bcs3(U, flags):
     return jnp.stack(outs, axis=1)
 
 
+def _shift_ok3(a, dz, dy, dx, d, h, w):
+    """nb3 shift with an in-bounds mask (False where the roll wrapped)."""
+    zz = jnp.arange(d)[None, :, None, None]
+    yy = jnp.arange(h)[None, None, :, None]
+    xx = jnp.arange(w)[None, None, None, :]
+    ok = (
+        (zz + dz >= 0) & (zz + dz < d)
+        & (yy + dy >= 0) & (yy + dy < h)
+        & (xx + dx >= 0) & (xx + dx < w)
+    )
+    return nb3(a, dz, dy, dx) & ok
+
+
+def set_wall_bcs_stick3(U, flags, flags_stick):
+    """No-slip (stick) walls in 3-D: the 3-axis generalisation of the 2-D
+    ``set_wall_bcs_stick`` (itself a clean reimplementation of the
+    reference's non-executable version, set_wall_bcs_stick.py):
+      1. zero all velocity inside obstacle cells,
+      2. slip BC on normal components (index clamped at 0),
+      3. in stick cells, set each tangential component's ghost value to the
+         negated mean of its fluid neighbours across the two tangential
+         axes (1-4 contributors in 3-D),
+      4. corner rule: a stick cell whose normal-minus neighbour is stick
+         zeroes the component when a tangential axis has a stick neighbour
+         on EXACTLY one side. A both-sided stick pair means the obstacle
+         continues straight through along that axis (e.g. the extrusion
+         axis of a 3-D cylinder) — an interior line, not a corner; counting
+         it would kill the tangential ghost reflection on every extruded
+         surface, so it is excluded (intentional divergence from the 2-D
+         rule, which has no extrusion axis to protect).
+    """
+    _, d, h, w = flags.shape
+    fl = flags == FLUID
+    ob = flags == OBSTACLE
+    st = flags_stick == STICK
+    cont = fl | ob | st
+
+    comps = [jnp.where(ob, 0.0, U[:, c]) for c in range(3)]
+
+    for c, (ndz, ndy, ndx) in enumerate(_AXES):
+        # 2. slip on the normal: neighbour on the minus side of the face.
+        ob_m = _shift_ok3(ob, -ndz, -ndy, -ndx, d, h, w)
+        fl_m = _shift_ok3(fl, -ndz, -ndy, -ndx, d, h, w)
+        vel = jnp.where(cont & (ob_m | (ob & fl_m)), 0.0, comps[c])
+
+        # 3. tangential ghost reflection from fluid neighbours along the two
+        # tangential axes.
+        acc = jnp.zeros_like(vel)
+        cnt = jnp.zeros(vel.shape, I32)
+        for ta, (tdz, tdy, tdx) in enumerate(_AXES):
+            if ta == c:
+                continue
+            for s in (-1, 1):
+                sh = (s * tdz, s * tdy, s * tdx)
+                fl_t = _shift_ok3(fl, *sh, d, h, w)
+                v_t = jnp.where(fl_t, nb3(vel, *sh), 0.0)
+                acc = acc + v_t
+                cnt = cnt + fl_t.astype(I32)
+        ghost = -acc / jnp.maximum(cnt, 1).astype(F32)
+        vel = jnp.where(cont & st & (cnt > 0), ghost, vel)
+
+        # 4. corner stick cells (extrusion-safe: see docstring).
+        st_nm = _shift_ok3(st, -ndz, -ndy, -ndx, d, h, w)
+        st_tan = jnp.zeros(vel.shape, bool)
+        for ta, (tdz, tdy, tdx) in enumerate(_AXES):
+            if ta == c:
+                continue
+            st_m = _shift_ok3(st, -tdz, -tdy, -tdx, d, h, w)
+            st_p = _shift_ok3(st, tdz, tdy, tdx, d, h, w)
+            st_tan |= st_m ^ st_p
+        vel = jnp.where(cont & st & st_nm & st_tan, 0.0, vel)
+        comps[c] = vel
+
+    return jnp.stack(comps, axis=1)
+
+
 def add_buoyancy3(U, flags, density, gravity, rho_star, dt):
     _, d, h, w = flags.shape
     fl = flags == FLUID
@@ -137,9 +213,10 @@ def add_gravity3(U, flags, gravity, dt):
     return jnp.stack(outs, axis=1)
 
 
-def solve_jacobi_fixed3(flags, div, iters: int):
+def solve_jacobi_fixed3(flags, div, iters: int, p0=None):
     """6-neighbour Jacobi with obstacle-Neumann substitution
-    (3-D twin of ops.jacobi.solve_jacobi_fixed)."""
+    (3-D twin of ops.jacobi.solve_jacobi_fixed). A non-zero ``p0``
+    warm-starts the solve (used by the learned-projection polish)."""
     _, d, h, w = flags.shape
     ob = flags == OBSTACLE
     cont = (~border_mask3(d, h, w, 1)) & (~ob)
@@ -152,7 +229,9 @@ def solve_jacobi_fixed3(flags, div, iters: int):
             acc = acc + jnp.where(mask, p, nb3(p, *s))
         return jnp.where(cont, acc / 6.0, 0.0)
 
-    return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(div))
+    if p0 is None:
+        p0 = jnp.zeros_like(div)
+    return jax.lax.fori_loop(0, iters, sweep, p0)
 
 
 def get_centered3(U):
@@ -218,30 +297,66 @@ def _centers3(b, d, h, w):
 
 
 def advect_scalar3(dt, src, U, flags, maccormack_strength=0.75,
-                   method="maccormackFluidNet"):
-    """Semi-Lagrangian MacCormack scalar advection, 3-D, straight back-trace
-    + trilinear sampling + 3^3-neighbourhood clamp."""
+                   method="maccormackFluidNet", impl="gather",
+                   max_disp=2, line_trace=False):
+    """Semi-Lagrangian MacCormack scalar advection, 3-D: back-trace
+    (optionally an obstacle-aware ray march, like the 2-D reference path)
+    + trilinear sampling + 3^3-neighbourhood clamp.
+
+    ``impl='window'`` replaces every gather with bounded-window masked-shift
+    sums (ops/window3.py), the TPU fast path; exact while per-axis
+    displacements stay <= ``max_disp``.
+    """
     b, d, h, w = src.shape
     fluid = flags == FLUID
     border = border_mask3(d, h, w, 1)
     start = _centers3(b, d, h, w)
     cc = jnp.where(border[None, None], 0.0, get_centered3(U))
 
-    def sl(field, sdt):
-        back = start - sdt * cc
-        val = interpol3(field, back)
-        return jnp.where(fluid, val, field), back
+    window = impl == "window"
+    if window:
+        from .window3 import (
+            clamp_bounds_scalar_window3,
+            interpol_window3,
+            make_blocked_lookup_window3,
+        )
+    blocked_lookup = None
+    if line_trace and window:
+        blocked_lookup = make_blocked_lookup_window3(flags, max_disp)
 
-    fwd_val, fwd_back = sl(src, dt)
-    fwd = jnp.where(border, 0.0, fwd_val)
+    def trace(sdt):
+        if not line_trace:
+            return start - sdt * cc
+        from .line_trace3 import calc_line_trace3
+
+        return calc_line_trace3(
+            start, -sdt * cc, flags, blocked_lookup=blocked_lookup
+        )
+
+    def sl(field, back):
+        if window:
+            val = interpol_window3(field, back, max_disp)
+        else:
+            val = interpol3(field, back)
+        return jnp.where(fluid, val, field)
+
+    fwd_back = trace(dt)
+    fwd = jnp.where(border, 0.0, sl(src, fwd_back))
     if method == "eulerFluidNet":
         return fwd
-    bwd_val, _ = sl(fwd, -dt)
-    bwd = jnp.where(border, 0.0, bwd_val)
+    bwd = jnp.where(border, 0.0, sl(fwd, trace(-dt)))
     dst = jnp.where(fluid, fwd + maccormack_strength * 0.5 * (src - bwd), fwd)
 
     # clamp to the 3^3 fluid neighbourhood of the fwd landing cell
     pos = jnp.where(fluid[:, None], fwd_back, start)
+    if window:
+        ok, minv, maxv = clamp_bounds_scalar_window3(
+            src, pos, flags, max_disp
+        )
+        clamped = jnp.where(
+            ok, jnp.maximum(minv, jnp.minimum(maxv, dst)), fwd
+        )
+        return jnp.where(border, dst, clamped)
     i0 = jnp.clip(jnp.trunc(pos[:, 0]).astype(I32), 0, w - 1)
     j0 = jnp.clip(jnp.trunc(pos[:, 1]).astype(I32), 0, h - 1)
     k0 = jnp.clip(jnp.trunc(pos[:, 2]).astype(I32), 0, d - 1)
@@ -272,10 +387,16 @@ def advect_scalar3(dt, src, U, flags, maccormack_strength=0.75,
 
 
 def advect_velocity3(dt, U, flags, maccormack_strength=0.75,
-                     method="maccormackFluidNet"):
+                     method="maccormackFluidNet", impl="gather",
+                     max_disp=2):
     """Semi-Lagrangian MacCormack self-advection of 3-D MAC velocity:
     per-component face-velocity resampling + trilinear back-trace sample,
-    correction with fluid-skip masks, corner clamp."""
+    correction with fluid-skip masks, corner clamp.
+
+    ``impl='window'`` uses the bounded-window engine (ops/window3.py)."""
+    window = impl == "window"
+    if window:
+        from .window3 import clamp_component_mac_window3, interpol_window3
     b, _, d, h, w = U.shape
     fluid = flags == FLUID
     border = border_mask3(d, h, w, 1)
@@ -306,7 +427,10 @@ def advect_velocity3(dt, U, flags, maccormack_strength=0.75,
         comps = []
         for c in range(3):
             back = start - sdt * mac[c]
-            comps.append(interpol3(field[:, c], back))
+            if window:
+                comps.append(interpol_window3(field[:, c], back, max_disp))
+            else:
+                comps.append(interpol3(field[:, c], back))
         val = jnp.stack(comps, axis=1)
         return jnp.where(fluid[:, None], val, field)
 
@@ -328,6 +452,12 @@ def advect_velocity3(dt, U, flags, maccormack_strength=0.75,
             fwd[:, c] + maccormack_strength * 0.5 * (U[:, c] - bwd[:, c]),
         )
         # corner clamp around pos -/+ dt*vel_mac (8 corners x 2 positions)
+        if window:
+            out = clamp_component_mac_window3(
+                dst, U[:, c], mac[c] * dt, max_disp
+            )
+            outs.append(jnp.where(border, 0.0, out))
+            continue
         minv = jnp.full_like(dst, jnp.inf)
         maxv = jnp.full_like(dst, -jnp.inf)
         pos_i = jnp.stack([xx + 0 * flags, yy + 0 * flags, zz + 0 * flags],

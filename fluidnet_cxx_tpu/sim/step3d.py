@@ -1,17 +1,21 @@
-"""Minimal 3-D simulation step.
+"""3-D simulation step.
 
 Composes the 3-D kernels (ops/ops3d.py) in the same operation order as the
 2-D ``simulate_step``. The reference has no working 3-D path (README.md:31);
-this covers the core loop — MacCormack advection, buoyancy/gravity, wall
-BCs, Jacobi projection. Not yet in 3-D: line trace, stick BCs, periodic
-overrides, learned projection.
+this is the clean 3-D generalisation, at feature parity with the 2-D step:
+MacCormack advection (gather or bounded-window TPU fast path, optional
+obstacle-aware line trace), inlet/const BCs, buoyancy/gravity, slip and
+no-slip (stick) wall BCs, periodic overrides, and Jacobi or learned
+(convnet) projection.
 """
-from typing import NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..ops import ops3d
+
+ProjectFn3 = Callable[..., tuple]
 
 
 class SimState3(NamedTuple):
@@ -19,6 +23,12 @@ class SimState3(NamedTuple):
     U: jnp.ndarray        # (b, 3, d, h, w)
     flags: jnp.ndarray    # (b, d, h, w) int32
     density: jnp.ndarray  # (b, d, h, w)
+    # Optional no-slip geometry + inlet/const BC masks (2-D SimState twins).
+    flags_stick: Optional[jnp.ndarray] = None
+    U_bc: Optional[jnp.ndarray] = None
+    U_bc_inv_mask: Optional[jnp.ndarray] = None
+    density_bc: Optional[jnp.ndarray] = None
+    density_bc_inv_mask: Optional[jnp.ndarray] = None
 
 
 def create_state3(b: int, d: int, h: int, w: int) -> SimState3:
@@ -30,9 +40,47 @@ def create_state3(b: int, d: int, h: int, w: int) -> SimState3:
     )
 
 
-def simulate_step3(cfg: SimConfig, state: SimState3) -> SimState3:
+def apply_const_vals3(state: SimState3, U, density):
+    """Re-impose inlet/constant BCs (2-D apply_const_vals twin)."""
+    if state.U_bc is not None:
+        U = U * state.U_bc_inv_mask + state.U_bc
+    if state.density_bc is not None:
+        density = density * state.density_bc_inv_mask + state.density_bc
+    return U, density
+
+
+def _wall_bcs3(cfg: SimConfig, state: SimState3, U):
+    """Wall BC block incl. periodic overrides (2-D _wall_bcs twin; the 3-D
+    periodic override copies both tangential components at the low wall from
+    the high side)."""
+    stick = state.flags_stick is not None
+    if cfg.sim_method != "convnet":
+        U_before = U
+        U = ops3d.set_wall_bcs3(U, state.flags)
+        if cfg.periodic_x:
+            U = U.at[:, 1, :, :, 1].set(U_before[:, 1, :, :, -1])
+            U = U.at[:, 2, :, :, 1].set(U_before[:, 2, :, :, -1])
+        if cfg.periodic_y:
+            U = U.at[:, 0, :, 1, :].set(U_before[:, 0, :, -1, :])
+            U = U.at[:, 2, :, 1, :].set(U_before[:, 2, :, -1, :])
+        if cfg.periodic_z:
+            U = U.at[:, 0, 1, :, :].set(U_before[:, 0, -1, :, :])
+            U = U.at[:, 1, 1, :, :].set(U_before[:, 1, -1, :, :])
+    elif stick:
+        U = ops3d.set_wall_bcs_stick3(U, state.flags, state.flags_stick)
+    if stick and cfg.sim_method != "convnet":
+        U = ops3d.set_wall_bcs_stick3(U, state.flags, state.flags_stick)
+    return U
+
+
+def simulate_step3(
+    cfg: SimConfig,
+    state: SimState3,
+    project_fn: Optional[ProjectFn3] = None,
+    output_div: bool = False,
+) -> SimState3:
     flags = state.flags
-    U, rho = state.U, state.density
+    U, rho, p = state.U, state.density, state.p
     dt = cfg.dt
 
     if cfg.advect_density:
@@ -40,12 +88,19 @@ def simulate_step3(cfg: SimConfig, state: SimState3) -> SimState3:
             dt, rho, U, flags,
             maccormack_strength=cfg.maccormack_strength,
             method=cfg.advection_method,
+            impl=cfg.advection_impl,
+            max_disp=min(cfg.max_disp, 2),
+            line_trace=cfg.line_trace,
         )
     U = ops3d.advect_velocity3(
         dt, U, flags,
         maccormack_strength=cfg.maccormack_strength,
         method=cfg.advection_method,
+        impl=cfg.advection_impl,
+        max_disp=min(cfg.max_disp, 2),
     )
+
+    U, rho = apply_const_vals3(state, U, rho)
 
     gvec = jnp.asarray(cfg.gravity_vec, jnp.float32)
     if cfg.buoyancy_scale > 0:
@@ -56,9 +111,20 @@ def simulate_step3(cfg: SimConfig, state: SimState3) -> SimState3:
     if cfg.gravity_scale > 0:
         U = ops3d.add_gravity3(U, flags, gvec * (-cfg.gravity_scale), dt)
 
-    U = ops3d.set_wall_bcs3(U, flags)
-    div = ops3d.velocity_divergence3(U, flags)
-    p = ops3d.solve_jacobi_fixed3(flags, div, cfg.jacobi_iter)
-    U = ops3d.velocity_update3(p, U, flags)
-    U = ops3d.set_wall_bcs3(U, flags)
-    return SimState3(p=p, U=U, flags=flags, density=rho)
+    if output_div:
+        return state._replace(U=U, density=rho)
+
+    U = _wall_bcs3(cfg, state, U)
+    U, rho = apply_const_vals3(state, U, rho)
+
+    if cfg.sim_method == "convnet":
+        assert project_fn is not None, "convnet projection needs project_fn"
+        p, U = project_fn(p, U, flags, rho)
+    else:
+        div = ops3d.velocity_divergence3(U, flags)
+        p = ops3d.solve_jacobi_fixed3(flags, div, cfg.jacobi_iter)
+        U = ops3d.velocity_update3(p, U, flags)
+
+    U = _wall_bcs3(cfg, state, U)
+    U, rho = apply_const_vals3(state, U, rho)
+    return state._replace(p=p, U=U, density=rho)

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""3-D throughput benchmark: buoyant plume at (default) 128^3.
+
+    python scripts/bench3d.py [--res 128] [--steps 10] [--jacobiIter 60]
+        [--modelDir DIR]   # adds the learned PUNet3 projection case
+
+Beyond-reference: the reference's 3-D path is declared broken (README.md:31).
+Reports marginal steps/s (two scan lengths, differenced — cancels the fixed
+per-invocation executor overhead) for the window and gather advection
+engines, plus the learned projection when a 3-D checkpoint is given.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def time_steps(step, state, n):
+    def make(k):
+        @jax.jit
+        def run(s):
+            return jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                                length=k)[0]
+        return run
+
+    run_a, run_b = make(n), make(2 * n)
+    s = run_a(state)
+    _ = float(jnp.sum(s.density))
+    t0 = time.perf_counter()
+    s = run_a(s)
+    _ = float(jnp.sum(s.density))
+    t_a = time.perf_counter() - t0
+    s = run_b(s)
+    _ = float(jnp.sum(s.density))
+    t0 = time.perf_counter()
+    s = run_b(s)
+    _ = float(jnp.sum(s.density))
+    t_b = time.perf_counter() - t0
+    return n / max(t_b - t_a, 1e-9), s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--jacobiIter", type=int, default=60)
+    ap.add_argument("--dt", type=float, default=0.25)
+    ap.add_argument("--modelDir", default=None)
+    args = ap.parse_args()
+
+    from fluidnet_cxx_tpu.sim import plume_config
+    from fluidnet_cxx_tpu.sim.scenes3 import create_plume_scene3
+    from fluidnet_cxx_tpu.sim.step3d import simulate_step3
+    from fluidnet_cxx_tpu.ops import ops3d
+
+    n = args.res
+    state = create_plume_scene3(n, n, n, density_val=0.1,
+                                u_scale=0.6 * n / 64.0)
+    print(f"device: {jax.devices()[0]} | 3-D plume {n}^3")
+
+    cases = [
+        ("window (TPU fast path)", dict(advection_impl="window")),
+        ("gather", dict(advection_impl="gather")),
+    ]
+    for name, kw in cases:
+        cfg = plume_config(
+            dt=args.dt, jacobi_iter=args.jacobiIter,
+            buoyancy_scale=0.5, gravity_vec=(0.0, -1.0, 0.0),
+            line_trace=False, **kw,
+        )
+        sps, s = time_steps(lambda st: simulate_step3(cfg, st), state,
+                            args.steps)
+        div = float(jnp.abs(
+            ops3d.velocity_divergence3(s.U, s.flags)).max())
+        print(f"{name:28s} Jacobi-{args.jacobiIter}: {sps:8.2f} steps/s "
+              f"({1e3 / sps:.1f} ms/step), max|div|={div:.4f}", flush=True)
+
+    if args.modelDir:
+        from fluidnet_cxx_tpu.models.punet3d import (
+            FluidNet3,
+            init_params3,
+            make_project_fn3,
+        )
+        from fluidnet_cxx_tpu.train.checkpoint import (
+            load_model_config,
+            load_train_checkpoint,
+        )
+        from fluidnet_cxx_tpu.train.trainer import TrainState
+        import optax
+
+        mcfg = load_model_config(args.modelDir)
+        model = FluidNet3(mcfg)
+        params = init_params3(model, jax.random.PRNGKey(0), 16, 16, 16)
+        opt = optax.adam(1e-4)
+        template = TrainState(params, opt.init(params),
+                              jnp.zeros((), jnp.int32))
+        ts, _, _ = load_train_checkpoint(args.modelDir, template, best=True)
+        project = make_project_fn3(model, ts.params)
+        cfg = plume_config(
+            dt=args.dt, sim_method="convnet", buoyancy_scale=0.5,
+            gravity_vec=(0.0, -1.0, 0.0), line_trace=False,
+            advection_impl="window",
+        )
+        sps, s = time_steps(
+            lambda st: simulate_step3(cfg, st, project_fn=project),
+            state, args.steps,
+        )
+        div = float(jnp.abs(
+            ops3d.velocity_divergence3(s.U, s.flags)).max())
+        print(f"{'PUNet3 learned projection':28s}: {sps:8.2f} steps/s "
+              f"({1e3 / sps:.1f} ms/step), max|div|={div:.4f}")
+
+
+if __name__ == "__main__":
+    main()

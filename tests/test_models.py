@@ -142,3 +142,54 @@ def test_polish_sweeps_reduce_divergence(inputs):
         norms[sweeps] = np.sqrt((d ** 2).mean())
     assert norms[8] < norms[0]
     assert norms[64] < norms[8]
+
+
+def test_punet3_forward_projection_and_grads():
+    """PUNet3 (learned 3-D projection): shapes, divergence reduction via
+    polish sweeps, gradient flow."""
+    from fluidnet_cxx_tpu.models.punet3d import FluidNet3, init_params3
+    from fluidnet_cxx_tpu.ops import ops3d
+
+    r = 16
+    cfg = ModelConfig(model="PUNet3", punet_patch=4, punet_widths=(8, 12),
+                      punet_bottleneck_convs=1, polish_sweeps=30,
+                      normalize_input_chan="UDiv")
+    model = FluidNet3(cfg)
+    params = init_params3(model, jax.random.PRNGKey(0), r, r, r)
+
+    rng = np.random.default_rng(5)
+    flags = ops3d.empty_domain3(1, r, r, r)
+    U = jnp.asarray(rng.standard_normal((1, 3, r, r, r)), jnp.float32)
+    U = ops3d.set_wall_bcs3(U, flags)
+    zero = jnp.zeros((1, r, r, r), jnp.float32)
+
+    p_out, U_out = jax.jit(
+        lambda *a: model.apply(params, *a)
+    )(zero, U, flags, zero)
+    assert p_out.shape == (1, r, r, r) and U_out.shape == U.shape
+    d_in = float(jnp.abs(ops3d.velocity_divergence3(U, flags)).mean())
+    d_out = float(jnp.abs(ops3d.velocity_divergence3(U_out, flags)).mean())
+    assert np.isfinite(d_out) and d_out < d_in  # untrained net + 30 sweeps
+
+    def loss(params):
+        _, U_o = model.apply(params, zero, U, flags, zero)
+        div = ops3d.velocity_divergence3(U_o, flags)
+        return jnp.mean(div * div)
+
+    g = jax.grad(loss)(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_synthetic3_batch_labels_are_projected():
+    from fluidnet_cxx_tpu.data.synthetic3 import generate_batch3
+    from fluidnet_cxx_tpu.ops import ops3d
+
+    U_div, flags, p, U_t = generate_batch3(
+        jax.random.PRNGKey(1), 2, 12, 12, 12, jacobi_iters=500
+    )
+    d_in = float(jnp.abs(ops3d.velocity_divergence3(U_div, flags)).mean())
+    d_t = float(jnp.abs(ops3d.velocity_divergence3(U_t, flags)).mean())
+    assert d_t < 0.05 * d_in

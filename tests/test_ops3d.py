@@ -125,6 +125,163 @@ def test_step3_smoke():
     assert com > 4.2  # blob (initial y-com ~3.5) has risen
 
 
+def test_advect3_window_matches_gather(rng):
+    """Bounded-window 3-D advection == gather advection while per-axis
+    displacements stay <= max_disp."""
+    flags = np.asarray(ops3d.empty_domain3(1, 10, 14, 14))
+    U = np.clip(1.5 * rng.standard_normal((1, 3, 10, 14, 14)), -2, 2
+                ).astype(np.float32)
+    rho = rng.random((1, 10, 14, 14)).astype(np.float32)
+    dt = 0.8  # |disp| <= 2*0.8 = 1.6 < max_disp=2
+    g = np.asarray(ops3d.advect_scalar3(dt, rho, U, flags, 0.6,
+                                        impl="gather"))
+    w_ = np.asarray(ops3d.advect_scalar3(dt, rho, U, flags, 0.6,
+                                         impl="window", max_disp=2))
+    np.testing.assert_allclose(w_, g, atol=2e-5)
+    g = np.asarray(ops3d.advect_velocity3(dt, U, flags, 0.6, impl="gather"))
+    w_ = np.asarray(ops3d.advect_velocity3(dt, U, flags, 0.6,
+                                           impl="window", max_disp=2))
+    np.testing.assert_allclose(w_, g, atol=2e-5)
+
+
+def test_line_trace3_slab_equivalence(rng):
+    """3-D line trace on a z-uniform slab == 2-D line trace layer-wise."""
+    from fluidnet_cxx_tpu.ops.line_trace import calc_line_trace
+    from fluidnet_cxx_tpu.ops.line_trace3 import calc_line_trace3
+
+    flags2 = random_flags(rng, B, H, W, p_obstacle=0.12)
+    d = 6
+    flags3 = np.repeat(flags2[:, None], d, axis=1)
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    pos2 = np.stack([xx + 0.5, yy + 0.5], 0)[None]
+    delta2 = (2.5 * rng.standard_normal((B, 2, H, W))).astype(np.float32)
+
+    got2 = np.asarray(calc_line_trace(pos2, delta2, flags2))
+
+    # z-centred start, zero z delta: every interior layer must reproduce
+    # the 2-D result in (x, y).
+    pos3 = np.zeros((B, 3, d, H, W), np.float32)
+    delta3 = np.zeros((B, 3, d, H, W), np.float32)
+    for k in range(d):
+        pos3[:, 0, k], pos3[:, 1, k] = pos2[:, 0], pos2[:, 1]
+        pos3[:, 2, k] = k + 0.5
+        delta3[:, 0, k], delta3[:, 1, k] = delta2[:, 0], delta2[:, 1]
+    got3 = np.asarray(calc_line_trace3(pos3, delta3, flags3))
+
+    k = d // 2  # interior layer, away from the z walls
+    fl = flags2 == 1
+    np.testing.assert_allclose(got3[:, 0, k][fl], got2[:, 0][fl], atol=1e-4)
+    np.testing.assert_allclose(got3[:, 1, k][fl], got2[:, 1][fl], atol=1e-4)
+    np.testing.assert_allclose(got3[:, 2, k][fl], k + 0.5, atol=1e-6)
+
+    # invariant: traced points never end up inside solid / out of domain
+    from fluidnet_cxx_tpu.ops.line_trace3 import _is_blocked_cell3
+    blocked = np.asarray(_is_blocked_cell3(got3, flags3))
+    start_ok = flags3 == 1
+    assert not (blocked & start_ok).any()
+
+
+def test_stick_bcs3_slab_equivalence(rng):
+    """3-D stick BCs on a z-uniform slab match the 2-D version for the
+    in-plane components. Stick cells are placed on a checkerboard (no
+    adjacent pairs) so the 3-D corner rule's extrusion-axis exclusion and
+    the 2-D corner rule agree (see set_wall_bcs_stick3 docstring)."""
+    from fluidnet_cxx_tpu.celltype import STICK
+    from fluidnet_cxx_tpu.ops.stencils import set_wall_bcs_stick
+
+    flags2 = random_flags(rng, B, H, W, p_obstacle=0.1)
+    yy, xx = np.mgrid[0:H, 0:W]
+    checker = ((yy + xx) % 2 == 0)[None]
+    stick2 = np.where(
+        (flags2 == 2) & checker & (rng.random((B, H, W)) < 0.7), STICK, 0
+    ).astype(np.int32)
+
+    U2 = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+    d = 4
+    flags3 = np.repeat(flags2[:, None], d, axis=1)
+    stick3 = np.repeat(stick2[:, None], d, axis=1)
+    U3 = np.zeros((B, 3, d, H, W), np.float32)
+    for k in range(d):
+        U3[:, 0, k], U3[:, 1, k] = U2[:, 0], U2[:, 1]
+
+    got = np.asarray(ops3d.set_wall_bcs_stick3(U3, flags3, stick3))
+    want = np.asarray(set_wall_bcs_stick(U2, flags2, stick2))
+    k = d // 2
+    np.testing.assert_allclose(got[:, 0, k], want[:, 0], atol=1e-6)
+    np.testing.assert_allclose(got[:, 1, k], want[:, 1], atol=1e-6)
+
+
+def test_stick_bcs3_corner_rule_is_extrusion_safe():
+    """An extruded straight stick wall keeps its tangential ghost
+    reflection (the corner rule must not fire along the extrusion axis);
+    an in-plane L-corner still zeroes the ambiguous component."""
+    from fluidnet_cxx_tpu.celltype import STICK
+
+    d, h, w = 8, 10, 10
+    flags = np.asarray(ops3d.empty_domain3(1, d, h, w)).copy()
+    stick = np.zeros((1, d, h, w), np.int32)
+    # vertical (y) wall at x=4, extruded through z, fluid on both x sides
+    flags[:, :, 3:7, 4] = 2
+    stick[:, :, 3:7, 4] = STICK
+    U = np.ones((1, 3, d, h, w), np.float32)
+
+    out = np.asarray(ops3d.set_wall_bcs_stick3(U, flags, stick))
+    # v (tangential to the wall) in a mid-wall stick cell must be the
+    # negated mean of its fluid x-neighbours (-1), not zero: the z and y
+    # stick neighbours are a straight continuation, not a corner.
+    assert out[0, 1, d // 2, 5, 4] == pytest.approx(-1.0)
+    assert np.isfinite(out).all()
+
+    # Extrusion safety of the corner rule: a stick cell diagonal to the
+    # wall top has the wall as its u normal-minus neighbour and both-sided
+    # stick along z (its own extrusion) — the old `any stick tangential
+    # neighbour` rule would zero u here; the extrusion-safe rule keeps the
+    # ghost reflection. Fluid y-neighbours of the cell: u(y=5,x=5) was
+    # slip-killed to 0 (its x-minus is the wall), u(y=7,x=5) stays 1, so
+    # the ghost is -mean(0, 1) = -0.5.
+    flags2 = flags.copy()
+    stick2 = stick.copy()
+    flags2[:, :, 6, 5] = 2
+    stick2[:, :, 6, 5] = STICK
+    out2 = np.asarray(ops3d.set_wall_bcs_stick3(U, flags2, stick2))
+    assert out2[0, 0, d // 2, 6, 5] == pytest.approx(-0.5)
+
+    # non-extruded single-layer wall (z-limited): tangential ghosts intact
+    flags3 = np.asarray(ops3d.empty_domain3(1, d, h, w)).copy()
+    stick3 = np.zeros((1, d, h, w), np.int32)
+    flags3[:, 4, 3:7, 4] = 2   # one z-layer wall
+    stick3[:, 4, 3:7, 4] = STICK
+    out3 = np.asarray(ops3d.set_wall_bcs_stick3(U, flags3, stick3))
+    # w-component at (z=4, y=5, x=4): normal-minus (z=3) is fluid -> rule 2
+    # does not kill; tangential ghost from fluid z..: its tangential axes
+    # (x, y) have fluid at x±1 -> ghost = -1.
+    assert out3[0, 2, 4, 5, 4] == pytest.approx(-1.0)
+    assert np.isfinite(out3).all()
+
+
+def test_periodic_overrides3():
+    """periodic-z copies the tangential components at the low z wall from
+    the high side."""
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.sim import plume_config
+    from fluidnet_cxx_tpu.sim.step3d import SimState3, _wall_bcs3
+
+    d = h = w = 8
+    flags = ops3d.empty_domain3(1, d, h, w)
+    U = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 3, d, h, w)),
+        jnp.float32,
+    )
+    state = SimState3(p=jnp.zeros((1, d, h, w)), U=U, flags=flags,
+                      density=jnp.zeros((1, d, h, w)))
+    cfg = plume_config(periodic_z=True)
+    out = np.asarray(_wall_bcs3(cfg, state, U))
+    np.testing.assert_allclose(out[:, 0, 1], np.asarray(U)[:, 0, -1])
+    np.testing.assert_allclose(out[:, 1, 1], np.asarray(U)[:, 1, -1])
+
+
 def test_simulate_step3():
     import jax.numpy as jnp
 
