@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Quality-per-ms curve: learned projection vs Jacobi at a given resolution.
+
+    python scripts/quality_per_ms.py --modelDir trained_models/PUNet_512_r2
+        [--res 512] [--iters 600] [--out out/qpm_512.json]
+
+For each projection configuration — Jacobi-N sweeps and the learned model
+with K polish sweeps — runs the same plume rollout through the fused fast
+path, reporting:
+  * marginal ms/step (two scan lengths differenced, cancels the fixed
+    per-invocation executor overhead),
+  * mean|div| and max|div| over non-inlet fluid cells (mean over stat
+    intervals after the first, like eval_parity).
+
+This is the iso-divergence comparison VERDICT r1 asked for: FluidNet's
+premise (CNN replaces the expensive solve, ref: README.md:2-39) holds iff
+the learned curve sits below-left of the Jacobi curve.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_case(name, cfg, state0, iters, stat, project=None):
+    from fluidnet_cxx_tpu import ops
+    from fluidnet_cxx_tpu.sim import simulate_step
+
+    fl_mask = (state0.flags == 1) & (state0.U_bc_inv_mask[:, 1] > 0.5)
+
+    def chunk_fn(n):
+        @jax.jit
+        def chunk(s):
+            def body(c, _):
+                return simulate_step(cfg, c, project_fn=project), None
+            s, _ = jax.lax.scan(body, s, None, length=n)
+            div = ops.velocity_divergence(s.U, s.flags)
+            mean_div = jnp.sum(jnp.abs(div) * fl_mask) / jnp.sum(fl_mask)
+            max_div = jnp.max(jnp.abs(div) * fl_mask)
+            return s, mean_div, max_div
+        return chunk
+
+    chunk = chunk_fn(stat)
+    s = state0
+    means, maxs = [], []
+    for _ in range(iters // stat):
+        s, m, mx = chunk(s)
+        means.append(float(m))
+        maxs.append(float(mx))
+
+    # marginal ms/step on the end state (the "busy plume" regime)
+    run_a, run_b = chunk_fn(stat), chunk_fn(4 * stat)
+    s1, m, _ = run_a(s)
+    _ = float(m)
+    t0 = time.perf_counter()
+    _, m, _ = run_a(s1)
+    _ = float(m)
+    t_a = time.perf_counter() - t0
+    s2, m, _ = run_b(s)
+    _ = float(m)
+    t0 = time.perf_counter()
+    _, m, _ = run_b(s2)
+    _ = float(m)
+    t_b = time.perf_counter() - t0
+    ms = 1e3 * max(t_b - t_a, 1e-9) / (3 * stat)
+
+    rec = dict(
+        name=name,
+        ms_per_step=round(ms, 4),
+        steps_per_sec=round(1e3 / ms, 1),
+        mean_div=float(np.mean(means[1:])),
+        max_div=float(np.max(maxs[1:])),
+    )
+    print(
+        f"{name:24s} {ms:7.3f} ms/step ({1e3/ms:7.1f} steps/s)  "
+        f"mean|div| {rec['mean_div']:.6f}  max|div| {rec['max_div']:.5f}",
+        flush=True,
+    )
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modelDir", required=True)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--statIter", type=int, default=100)
+    ap.add_argument("--jacobi", default="28,50,100,200,400")
+    ap.add_argument("--polish", default="0,16,32,64,128")
+    ap.add_argument("--out", default="out/qpm.json")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from fluidnet_cxx_tpu.models import FluidNet, make_project_fn
+    from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config
+    from fluidnet_cxx_tpu.train import TrainConfig, init_train_state
+    from fluidnet_cxx_tpu.train.checkpoint import (
+        load_model_config,
+        load_train_checkpoint,
+    )
+
+    res = args.res
+    state0 = create_plume_scene(
+        res, res, density_val=0.1, u_scale=2.0 * res / 128.0, rad=0.145
+    )
+    fast = dict(use_pallas=jax.default_backend() != "cpu", line_trace=False)
+
+    results = []
+    for n in [int(x) for x in args.jacobi.split(",") if x]:
+        cfg = plume_config(jacobi_iter=n, **fast)
+        results.append(
+            run_case(f"jacobi-{n}", cfg, state0, args.iters, args.statIter)
+        )
+
+    mcfg = load_model_config(args.modelDir)
+    for k in [int(x) for x in args.polish.split(",") if x]:
+        mk = dataclasses.replace(
+            mcfg, polish_sweeps=k,
+            polish_impl="pallas" if fast["use_pallas"] else "xla",
+        )
+        model = FluidNet(mk)
+        template = init_train_state(
+            model, jax.random.PRNGKey(0), TrainConfig(), res, res
+        )
+        ts, _, _ = load_train_checkpoint(args.modelDir, template, best=True)
+        project = make_project_fn(model, ts.params)
+        cfg = plume_config(sim_method="convnet", **fast)
+        results.append(
+            run_case(f"punet+{k}", cfg, state0, args.iters, args.statIter,
+                     project)
+        )
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
