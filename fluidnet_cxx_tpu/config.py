@@ -80,6 +80,7 @@ class ModelConfig:
     punet_widths: Tuple[int, ...] = (128, 128)
     punet_level_convs: int = 1
     punet_bottleneck_convs: int = 3
+    punet_bottleneck_dilation: int = 1
     punet_refine_ch: int = 8
     punet_refine_convs: int = 0
     # Warm-started Jacobi sweeps applied to the predicted (normalised)
@@ -179,6 +180,10 @@ def model_config_from_mconf(mconf: Dict[str, Any]) -> ModelConfig:
         ),
         punet_bottleneck_convs=int(
             _g(mconf, "punetBottleneckConvs", defaults.punet_bottleneck_convs)
+        ),
+        punet_bottleneck_dilation=int(
+            _g(mconf, "punetBottleneckDilation",
+               defaults.punet_bottleneck_dilation)
         ),
         punet_refine_ch=int(
             _g(mconf, "punetRefineCh", defaults.punet_refine_ch)

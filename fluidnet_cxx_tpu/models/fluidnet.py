@@ -134,6 +134,7 @@ class FluidNet(nn.Module):
                 widths=self.cfg.punet_widths,
                 level_convs=self.cfg.punet_level_convs,
                 bottleneck_convs=self.cfg.punet_bottleneck_convs,
+                bottleneck_dilation=self.cfg.punet_bottleneck_dilation,
                 refine_ch=self.cfg.punet_refine_ch,
                 refine_convs=self.cfg.punet_refine_convs,
                 dtype=self.cfg.compute_dtype,

@@ -66,6 +66,12 @@ class PUNet(nn.Module):
     widths: tuple = (128, 128)
     level_convs: int = 1
     bottleneck_convs: int = 3
+    # Kernel dilation of the bottleneck convs: at the coarsest level the
+    # pressure response is still long-range (Poisson Green's function spans
+    # the whole domain); dilation-d triples the receptive-field growth per
+    # conv at zero extra op cost. RF at the bottleneck ~= 1 + 2*d*n_convs
+    # coarse cells — size it so RF * patch * 2**(levels-1) >= the grid side.
+    bottleneck_dilation: int = 1
     refine_ch: int = 8
     refine_convs: int = 0
     dtype: str = "bfloat16"
@@ -74,9 +80,9 @@ class PUNet(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         del deterministic  # no dropout; kept for wrapper API parity
         raw = x
-        conv = lambda ch, k, name, s=1: nn.Conv(
+        conv = lambda ch, k, name, s=1, dil=1: nn.Conv(
             ch, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
-            name=name)
+            kernel_dilation=(dil, dil), name=name)
 
         # Patchify. All encoder/decoder compute happens at <= h/patch.
         x = space_to_depth(x, self.patch)
@@ -91,9 +97,11 @@ class PUNet(nn.Module):
                 x = nn.relu(conv(wd, 3, f"enc{i}_{j}")(x))
             skips.append(x)
 
-        # Bottleneck at the coarsest level.
+        # Bottleneck at the coarsest level (optionally dilated: long-range
+        # pressure response at fixed op count).
         for j in range(self.bottleneck_convs):
-            x = nn.relu(conv(self.widths[-1], 3, f"mid{j}")(x))
+            x = nn.relu(conv(self.widths[-1], 3, f"mid{j}",
+                             dil=self.bottleneck_dilation)(x))
 
         # Decoder.
         for i in range(len(self.widths) - 2, -1, -1):

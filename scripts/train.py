@@ -41,6 +41,10 @@ def main():
                     help="grid size for synthetic data")
     ap.add_argument("--model", default=None,
                     choices=["FluidNet", "ScaleNet", "PUNet"])
+    ap.add_argument("--punetWidths", default=None,
+                    help="comma-separated PUNet level widths, e.g. 96,128,128")
+    ap.add_argument("--punetDilation", type=int, default=None,
+                    help="PUNet bottleneck conv dilation")
     ap.add_argument("--polishSweeps", type=int, default=None,
                     help="warm-started Jacobi polish sweeps inside the "
                          "learned projection (ModelConfig.polish_sweeps)")
@@ -96,6 +100,10 @@ def main():
         mconf["model"] = args.model
     if args.polishSweeps is not None:
         mconf["polishSweeps"] = args.polishSweeps
+    if args.punetWidths:
+        mconf["punetWidths"] = [int(x) for x in args.punetWidths.split(",")]
+    if args.punetDilation is not None:
+        mconf["punetBottleneckDilation"] = args.punetDilation
     mcfg = model_config_from_mconf(mconf)
     scfg = sim_config_from_mconf(mconf)
 
