@@ -118,3 +118,37 @@ def test_sharded_step_collectives_are_halo_width():
                 re.findall(r"\d+", shape.split("[")[1].split("]")[0])]
         elems = int(np.prod(dims)) if dims else 0
         assert elems < local, f"full-shard {m.group(2)}: {shape}"
+
+
+def test_sharded_3d_step_matches_single():
+    """The 3-D step (window advection engine) under GSPMD width sharding
+    equals the single-device result — spatial decomposition extends to 3-D
+    unchanged (the window shifts lower to halo exchanges like in 2-D)."""
+    from fluidnet_cxx_tpu.sim import plume_config
+    from fluidnet_cxx_tpu.sim.scenes3 import create_plume_scene3
+    from fluidnet_cxx_tpu.sim.step3d import simulate_step3
+
+    mesh = make_mesh(8, dp=1, sx=8)
+    cfg = plume_config(dt=0.25, jacobi_iter=10, buoyancy_scale=0.5,
+                       gravity_vec=(0.0, -1.0, 0.0), line_trace=False,
+                       advection_impl="window")
+    state = create_plume_scene3(16, 24, 32)
+
+    ref = simulate_step3(cfg, state)
+
+    def shard_leaf(x):
+        if x is None:
+            return None
+        spec = [None] * x.ndim
+        spec[-1] = "sx"  # shard the w (lane) axis
+        return NamedSharding(mesh, P(*spec))
+
+    sh = jax.tree_util.tree_map(shard_leaf, state)
+    state_sh = jax.device_put(state, sh)
+    got = jax.jit(lambda s: simulate_step3(cfg, s), in_shardings=(sh,))(
+        state_sh
+    )
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.density),
+                               np.asarray(ref.density), atol=1e-5)
