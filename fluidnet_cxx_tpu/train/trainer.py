@@ -246,3 +246,113 @@ def make_on_device_train_step(
         return TrainState(params, opt_state, ts.step + 1), terms
 
     return step
+
+
+def collect_rollout_frames(
+    sim_cfg: SimConfig,
+    state0,
+    n_frames: int,
+    stride: int = 4,
+    warmup: int = 50,
+):
+    """Roll the scene with the classical (Jacobi) projection and collect the
+    PRE-projection divergent states — the exact distribution the learned
+    projection sees in closed loop. This is the role Mantaflow dumps play
+    for the reference (its scenes are buoyant-plume-like too,
+    ref: README.md:214-218): train on solver-generated trajectories, not
+    just synthetic noise. Fully on-device; returns a device array
+    (n_frames, 2, h, w) of divergent velocities plus the (constant) flags.
+    """
+    from ..ops.jacobi import solve_jacobi_fixed
+    from ..ops.stencils import velocity_divergence, velocity_update
+    from .. import ops as _ops
+
+    def full_step(s):
+        return simulate_step(sim_cfg, s)
+
+    def divergent_step(s):
+        # advection + sources + wall/const BCs, stopping pre-projection
+        return simulate_step(sim_cfg, s, output_div=True)
+
+    def project(s_div):
+        # finish the step classically so the trajectory continues
+        U = _ops.set_wall_bcs(s_div.U, s_div.flags)
+        if s_div.U_bc is not None:
+            U = U * s_div.U_bc_inv_mask + s_div.U_bc
+        rhs = velocity_divergence(U, s_div.flags)
+        p = solve_jacobi_fixed(s_div.flags, rhs, sim_cfg.jacobi_iter)
+        U = _ops.set_wall_bcs(velocity_update(p, U, s_div.flags),
+                              s_div.flags)
+        if s_div.U_bc is not None:
+            U = U * s_div.U_bc_inv_mask + s_div.U_bc
+        return s_div._replace(p=p, U=U)
+
+    @jax.jit
+    def collect(state):
+        state = jax.lax.fori_loop(
+            0, warmup, lambda _, s: full_step(s), state
+        )
+
+        def body(s, _):
+            s_div = divergent_step(s)
+            s_next = jax.lax.fori_loop(
+                0, stride - 1, lambda _, t: full_step(t), project(s_div)
+            )
+            return s_next, s_div.U[0]
+
+        _, frames = jax.lax.scan(body, state, None, length=n_frames)
+        return frames
+
+    return collect(state0), state0.flags
+
+
+def make_mixed_train_step(
+    model: FluidNet,
+    sim_cfg: SimConfig,
+    cfg: TrainConfig,
+    frames,          # (N, 2, h, w) divergent rollout states
+    frame_flags,     # (1, h, w)
+    batch_size: int,
+    synth_frac: float = 0.5,
+    jacobi_iters: int = 400,
+    optimizer=None,
+):
+    """On-device training step mixing rollout-distribution frames (from
+    ``collect_rollout_frames``) with synthetic states: per sample, with
+    probability ``synth_frac`` a fresh synthetic field, else a buffered
+    rollout frame with random amplitude augmentation."""
+    import jax.numpy as jnp
+
+    from ..data.synthetic import generate_batch
+
+    optimizer = optimizer or make_optimizer(cfg)
+    loss_fn = make_loss_fn(model, sim_cfg, cfg)
+    n, _, h, w = frames.shape
+
+    def step(ts: TrainState, key):
+        k_pick, k_idx, k_amp, k_syn, k_loss = jax.random.split(key, 5)
+        syn = generate_batch(k_syn, batch_size, h, w, jacobi_iters)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+        amp = jax.random.uniform(k_amp, (batch_size, 1, 1, 1), minval=0.5,
+                                 maxval=1.5)
+        roll_U = frames[idx] * amp
+        use_syn = (jax.random.uniform(k_pick, (batch_size, 1, 1, 1))
+                   < synth_frac)
+        U_div = jnp.where(use_syn, syn.U_div, roll_U)
+        flags = jnp.where(use_syn[..., 0].astype(jnp.int32) > 0, syn.flags,
+                          frame_flags)
+        zero = jnp.zeros((batch_size, h, w), jnp.float32)
+        batch = Batch(
+            p_div=zero, U_div=U_div, flags=flags, density_div=zero,
+            p_target=zero, U_target=U_div, density_target=zero,
+        )
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, batch, k_loss
+        )
+        updates, opt_state = optimizer.update(
+            grads, ts.opt_state, ts.params, value=terms.total
+        )
+        params = optax.apply_updates(ts.params, updates)
+        return TrainState(params, opt_state, ts.step + 1), terms
+
+    return step

@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--onDevice", type=int, default=0,
                     help="train N steps with batches generated on-device "
                          "(no host dataset; fastest on TPU)")
+    ap.add_argument("--plumeFrames", type=int, default=0,
+                    help="collect N pre-projection plume rollout frames "
+                         "on-device and mix them into training (closes the "
+                         "train/rollout distribution gap)")
+    ap.add_argument("--synthFrac", type=float, default=0.5,
+                    help="fraction of synthetic samples when --plumeFrames")
     ap.add_argument("--labelIters", type=int, default=600,
                     help="Jacobi iterations for on-device labels")
     ap.add_argument("--evalSelect", action="store_true",
@@ -128,10 +134,39 @@ def main():
                                 jnp.zeros((), jnp.int32))
                 best = float("inf")
             print(f"resumed at step {int(ts.step)}")
-        inner = make_on_device_train_step(
-            model, scfg, tc, args.res, args.res,
-            tc.batch_size, args.labelIters, opt,
-        )
+        if args.plumeFrames:
+            from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config
+            from fluidnet_cxx_tpu.train.trainer import (
+                collect_rollout_frames,
+                make_mixed_train_step,
+            )
+
+            print(f"collecting {args.plumeFrames} plume rollout frames "
+                  f"at {args.res}^2...", flush=True)
+            roll_cfg = plume_config(
+                jacobi_iter=200,
+                use_pallas=jax.default_backend() != "cpu",
+                line_trace=False,
+            )
+            scene = create_plume_scene(
+                args.res, args.res, density_val=0.1,
+                u_scale=2.0 * args.res / 128.0, rad=0.145,
+            )
+            frames, frame_flags = collect_rollout_frames(
+                roll_cfg, scene, args.plumeFrames, stride=4, warmup=50,
+            )
+            frames = jax.block_until_ready(frames)
+            print(f"frames ready: {frames.shape}", flush=True)
+            inner = make_mixed_train_step(
+                model, scfg, tc, frames, frame_flags, tc.batch_size,
+                synth_frac=args.synthFrac, jacobi_iters=args.labelIters,
+                optimizer=opt,
+            )
+        else:
+            inner = make_on_device_train_step(
+                model, scfg, tc, args.res, args.res,
+                tc.batch_size, args.labelIters, opt,
+            )
         CHUNK = 10  # steps fused per dispatch (amortises tunnel latency)
 
         @partial(jax.jit, donate_argnums=0)
