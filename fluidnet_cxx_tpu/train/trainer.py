@@ -310,8 +310,7 @@ def make_mixed_train_step(
     model: FluidNet,
     sim_cfg: SimConfig,
     cfg: TrainConfig,
-    frames,          # (N, 2, h, w) divergent rollout states
-    frame_flags,     # (1, h, w)
+    frame_shape,     # (N, 2, h, w) of the rollout-frame buffer
     batch_size: int,
     synth_frac: float = 0.5,
     jacobi_iters: int = 400,
@@ -320,16 +319,22 @@ def make_mixed_train_step(
     """On-device training step mixing rollout-distribution frames (from
     ``collect_rollout_frames``) with synthetic states: per sample, with
     probability ``synth_frac`` a fresh synthetic field, else a buffered
-    rollout frame with random amplitude augmentation."""
+    rollout frame with random amplitude augmentation.
+
+    The buffer is a runtime ARGUMENT of the returned
+    ``step(ts, key, frames, frame_flags)`` — NOT a closure: jit embeds
+    closed-over device arrays as literal constants in the serialized
+    module, and a multi-hundred-MB constant breaks the remote-compile
+    transport (and bloats every executable)."""
     import jax.numpy as jnp
 
     from ..data.synthetic import generate_batch
 
     optimizer = optimizer or make_optimizer(cfg)
     loss_fn = make_loss_fn(model, sim_cfg, cfg)
-    n, _, h, w = frames.shape
+    n, _, h, w = frame_shape
 
-    def step(ts: TrainState, key):
+    def step(ts: TrainState, key, frames, frame_flags):
         k_pick, k_idx, k_amp, k_syn, k_loss = jax.random.split(key, 5)
         syn = generate_batch(k_syn, batch_size, h, w, jacobi_iters)
         idx = jax.random.randint(k_idx, (batch_size,), 0, n)

@@ -158,22 +158,28 @@ def main():
             frames = jax.block_until_ready(frames)
             print(f"frames ready: {frames.shape}", flush=True)
             inner = make_mixed_train_step(
-                model, scfg, tc, frames, frame_flags, tc.batch_size,
+                model, scfg, tc, frames.shape, tc.batch_size,
                 synth_frac=args.synthFrac, jacobi_iters=args.labelIters,
                 optimizer=opt,
             )
+            extra = (frames, frame_flags)
         else:
             inner = make_on_device_train_step(
                 model, scfg, tc, args.res, args.res,
                 tc.batch_size, args.labelIters, opt,
             )
-        CHUNK = 10  # steps fused per dispatch (amortises tunnel latency)
+            extra = ()
+        # Steps fused per dispatch: amortises the ~45 ms tunnel latency at
+        # small resolutions; at >= 256^2 a single step costs hundreds of ms
+        # (latency is noise) and the 10x-unrolled graph has broken the
+        # remote-compile transport, so dispatch one step at a time.
+        CHUNK = 10 if args.res < 256 else 1
 
         @partial(jax.jit, donate_argnums=0)
-        def step(ts, key):
+        def step(ts, key, *extra):
             def body(carry, k):
                 ts, _ = carry
-                ts, terms = inner(ts, k)
+                ts, terms = inner(ts, k, *extra)
                 return (ts, terms), None
             from fluidnet_cxx_tpu.train.losses import LossTerms
 
@@ -224,7 +230,7 @@ def main():
         window = []
         for i in range(CHUNK, args.onDevice + 1, CHUNK):
             key, sub = jax.random.split(key)
-            ts, terms = step(ts, sub)
+            ts, terms = step(ts, sub, *extra)
             window.append(terms)
             if i % 50 == 0 or i >= args.onDevice:
                 mean = jax.tree_util.tree_map(

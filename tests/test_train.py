@@ -211,14 +211,14 @@ def test_collect_rollout_frames_and_mixed_step():
     ts = init_train_state(model, jax.random.PRNGKey(0), tc, 32, 32, opt)
     init_params_copy = jax.tree_util.tree_map(lambda x: x.copy(), ts.params)
     step = jax.jit(make_mixed_train_step(
-        model, cfg, tc, frames, flags, batch_size=4, synth_frac=0.5,
+        model, cfg, tc, frames.shape, batch_size=4, synth_frac=0.5,
         jacobi_iters=30, optimizer=opt,
     ))
     losses = []
     key = jax.random.PRNGKey(3)
     for i in range(8):
         key, sub = jax.random.split(key)
-        ts, terms = step(ts, sub)
+        ts, terms = step(ts, sub, frames, flags)
         losses.append(float(terms.total))
     assert np.isfinite(losses).all()
     # per-step losses are noisy (random mixture/amplitudes); learning is
