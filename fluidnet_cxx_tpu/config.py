@@ -90,6 +90,11 @@ class ModelConfig:
     # VMEM-resident kernel, ~1.8 us/sweep at 512^2 on v5e vs ~7 us for XLA;
     # inference-only — pallas_call has no autodiff rule here).
     polish_impl: str = "xla"
+    # Weighted-Jacobi damping for the polish sweeps. 2/3 is the classical
+    # multigrid smoother: plain Jacobi (1.0) leaves near-Nyquist modes
+    # (patch-seam stripes from the depth-to-space head) undamped — measured
+    # r2: 52% of the CNN's residual divergence energy was sub-4-cell.
+    polish_damping: float = 2.0 / 3.0
 
     @property
     def in_dims(self) -> int:
@@ -192,6 +197,9 @@ def model_config_from_mconf(mconf: Dict[str, Any]) -> ModelConfig:
             _g(mconf, "punetRefineConvs", defaults.punet_refine_convs)
         ),
         polish_sweeps=int(_g(mconf, "polishSweeps", defaults.polish_sweeps)),
+        polish_damping=float(
+            _g(mconf, "polishDamping", defaults.polish_damping)
+        ),
     )
 
 

@@ -162,11 +162,13 @@ class FluidNet(nn.Module):
                 from ..ops.pallas.jacobi_pallas import solve_jacobi_pallas
 
                 p_hat = solve_jacobi_pallas(
-                    flags, div / s3, self.cfg.polish_sweeps, p0=p_hat
+                    flags, div / s3, self.cfg.polish_sweeps, p0=p_hat,
+                    damping=self.cfg.polish_damping,
                 )
             else:
                 p_hat = solve_jacobi_fixed(
-                    flags, div / s3, self.cfg.polish_sweeps, p0=p_hat
+                    flags, div / s3, self.cfg.polish_sweeps, p0=p_hat,
+                    damping=self.cfg.polish_damping,
                 )
         U_scaled = U / s3[:, None]
         U_new = velocity_update(p_hat, U_scaled, flags)

@@ -109,7 +109,8 @@ class FluidNet3(nn.Module):
 
         if self.cfg.polish_sweeps > 0:
             p_hat = ops3d.solve_jacobi_fixed3(
-                flags, div / s4, self.cfg.polish_sweeps, p0=p_hat
+                flags, div / s4, self.cfg.polish_sweeps, p0=p_hat,
+                damping=self.cfg.polish_damping,
             )
         U_new = ops3d.velocity_update3(p_hat, U / s4[:, None], flags)
         p_out = p_hat * s4

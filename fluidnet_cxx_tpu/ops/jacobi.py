@@ -24,7 +24,7 @@ from ..celltype import OBSTACLE
 from .common import F32, border_mask, nb
 
 
-def _sweep_maker(flags, div):
+def _sweep_maker(flags, div, damping: float = 1.0):
     _, h, w = flags.shape
     obstacle = flags == OBSTACLE
     dead = border_mask(h, w, 1)[None] | obstacle
@@ -33,13 +33,17 @@ def _sweep_maker(flags, div):
     ob_xp = nb(obstacle, 0, 1)
     ob_ym = nb(obstacle, -1, 0)
     ob_yp = nb(obstacle, 1, 0)
+    w_ = float(damping)
 
     def sweep(p):
         p1 = jnp.where(ob_xm, p, nb(p, 0, -1))
         p2 = jnp.where(ob_xp, p, nb(p, 0, 1))
         p3 = jnp.where(ob_ym, p, nb(p, -1, 0))
         p4 = jnp.where(ob_yp, p, nb(p, 1, 0))
-        return jnp.where(cont, (p1 + p2 + p3 + p4 + div) * 0.25, 0.0)
+        upd = (p1 + p2 + p3 + p4 + div) * 0.25
+        if w_ != 1.0:
+            upd = (1.0 - w_) * p + w_ * upd
+        return jnp.where(cont, upd, 0.0)
 
     return sweep
 
@@ -50,11 +54,19 @@ def _residual(p_new, p_old):
 
 
 def solve_jacobi_fixed(flags, div, iters: int, with_residual: bool = False,
-                       p0=None):
+                       p0=None, damping: float = 1.0):
     """Run exactly ``iters`` Jacobi sweeps from ``p0`` (default 0).
     Differentiable. A non-zero ``p0`` warm-starts the solve — used to polish
-    a CNN-predicted pressure with a few cheap sweeps."""
-    sweep = _sweep_maker(flags, div)
+    a CNN-predicted pressure with a few cheap sweeps.
+
+    ``damping`` < 1 gives weighted Jacobi ``p <- (1-w) p + w sweep(p)``.
+    Plain Jacobi (w=1, the reference iteration) does NOT damp near-Nyquist
+    error modes (its iteration-matrix eigenvalue is -1 at the checkerboard
+    and ~-1 for 2-cell stripes) — fine when starting from p0=0 whose error
+    is smooth, useless as a smoother for a CNN warm start whose error has
+    patch-seam stripes. w=2/3 is the classical multigrid smoother choice:
+    every mode with wavelength <= 4 cells damps by >= 1/3 per sweep."""
+    sweep = _sweep_maker(flags, div, damping)
     if p0 is None:
         p0 = jnp.zeros_like(div)
 

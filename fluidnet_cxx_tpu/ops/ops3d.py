@@ -213,21 +213,27 @@ def add_gravity3(U, flags, gravity, dt):
     return jnp.stack(outs, axis=1)
 
 
-def solve_jacobi_fixed3(flags, div, iters: int, p0=None):
+def solve_jacobi_fixed3(flags, div, iters: int, p0=None,
+                        damping: float = 1.0):
     """6-neighbour Jacobi with obstacle-Neumann substitution
     (3-D twin of ops.jacobi.solve_jacobi_fixed). A non-zero ``p0``
-    warm-starts the solve (used by the learned-projection polish)."""
+    warm-starts the solve; ``damping`` < 1 gives the weighted-Jacobi
+    smoother used by the learned-projection polish (see ops.jacobi)."""
     _, d, h, w = flags.shape
     ob = flags == OBSTACLE
     cont = (~border_mask3(d, h, w, 1)) & (~ob)
     nbs = [(0, 0, -1), (0, 0, 1), (0, -1, 0), (0, 1, 0), (-1, 0, 0), (1, 0, 0)]
     ob_n = [nb3(ob, *s) for s in nbs]
+    w_ = float(damping)
 
     def sweep(_, p):
         acc = div
         for mask, s in zip(ob_n, nbs):
             acc = acc + jnp.where(mask, p, nb3(p, *s))
-        return jnp.where(cont, acc / 6.0, 0.0)
+        upd = acc / 6.0
+        if w_ != 1.0:
+            upd = (1.0 - w_) * p + w_ * upd
+        return jnp.where(cont, upd, 0.0)
 
     if p0 is None:
         p0 = jnp.zeros_like(div)

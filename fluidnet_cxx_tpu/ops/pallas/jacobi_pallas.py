@@ -28,7 +28,8 @@ def _shift(a, dy: int, dx: int):
     return a
 
 
-def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int, p0_ref=None):
+def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int, p0_ref=None,
+                   damping: float = 1.0):
     h, w = div_ref.shape
     flags = flags_ref[:]
     div = div_ref[:]
@@ -50,19 +51,24 @@ def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int, p0_ref=None):
         p2 = jnp.where(ob_xp, p, _shift(p, 0, 1))
         p3 = jnp.where(ob_ym, p, _shift(p, -1, 0))
         p4 = jnp.where(ob_yp, p, _shift(p, 1, 0))
-        return jnp.where(cont, (p1 + p2 + p3 + p4 + div) * 0.25, 0.0)
+        upd = (p1 + p2 + p3 + p4 + div) * 0.25
+        if damping != 1.0:
+            upd = (1.0 - damping) * p + damping * upd
+        return jnp.where(cont, upd, 0.0)
 
     init = (jnp.zeros((h, w), jnp.float32) if p0_ref is None
             else p0_ref[:])
     p_ref[:] = jax.lax.fori_loop(0, iters, sweep, init)
 
 
-def solve_jacobi_pallas(flags, div, iters: int, p0=None):
+def solve_jacobi_pallas(flags, div, iters: int, p0=None,
+                        damping: float = 1.0):
     """Fixed-iteration Jacobi, one VMEM-resident Pallas program per batch
     sample. Inputs: flags (b, h, w) int32, div (b, h, w) f32. A non-zero
-    ``p0`` warm-starts the solve (the learned-projection polish path)."""
+    ``p0`` warm-starts the solve (the learned-projection polish path);
+    ``damping`` < 1 gives the weighted-Jacobi smoother (see ops.jacobi)."""
     b, h, w = div.shape
-    kernel = partial(_jacobi_kernel, iters=iters)
+    kernel = partial(_jacobi_kernel, iters=iters, damping=damping)
     block = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     n_in = 2 if p0 is None else 3

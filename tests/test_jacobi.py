@@ -59,3 +59,41 @@ def test_jacobi_is_differentiable(rng):
     g = jax.grad(loss)(jnp.asarray(div))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_damped_polish_kills_nyquist_stripes(rng):
+    """Plain Jacobi leaves near-Nyquist error modes undamped (iteration
+    eigenvalue -> -1); the weighted (2/3) smoother kills them — the reason
+    ModelConfig.polish_damping exists."""
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu import ops
+
+    h = w = 64
+    flags = np.full((1, h, w), 1, np.int32)
+    flags[:, 0], flags[:, -1], flags[:, :, 0], flags[:, :, -1] = 2, 2, 2, 2
+    U = rng.standard_normal((1, 2, h, w)).astype(np.float32)
+    rhs = np.asarray(ops.velocity_divergence(U, flags))
+    p_ref = np.asarray(ops.solve_jacobi_fixed(flags, rhs, 2000))
+
+    # checkerboard perturbation: the plain-Jacobi iteration eigenvalue is
+    # exactly -1 there (the mode oscillates forever); damped 2/3 gives -1/3
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = ((-1.0) ** (yy + xx)).astype(np.float32)[None]
+    p0 = p_ref + 0.5 * checker
+
+    err_plain = np.asarray(ops.solve_jacobi_fixed(
+        flags, rhs, 16, p0=jnp.asarray(p0))) - p_ref
+    err_damped = np.asarray(ops.solve_jacobi_fixed(
+        flags, rhs, 16, p0=jnp.asarray(p0), damping=2.0 / 3.0)) - p_ref
+
+    interior = np.zeros((1, h, w), bool)
+    interior[:, 2:-2, 2:-2] = True
+    e_p = np.abs(err_plain[interior]).max()
+    e_d = np.abs(err_damped[interior]).max()
+    # plain: stripe survives nearly intact; damped: crushed by (1/3)^16
+    assert e_p > 0.2
+    # the 0.5-amplitude checkerboard is crushed by (1/3)^16; the remaining
+    # ~0.016 is p_ref's own unconverged smooth tail, not the stripe
+    assert e_d < 0.05
+    assert e_d < e_p / 10
