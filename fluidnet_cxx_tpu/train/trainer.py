@@ -36,7 +36,10 @@ from .losses import LossTerms, long_term_loss, short_term_losses
 
 class Batch(NamedTuple):
     """One training batch (divergent inputs + projected targets), matching
-    the reference's channel layout (ref: fluid_net_train.py:249-259)."""
+    the reference's channel layout (ref: fluid_net_train.py:249-259).
+
+    ``div_mask`` (optional) excludes BC-clamped cells from the divergence
+    losses — see train/losses.py."""
     p_div: jnp.ndarray      # (b, h, w)
     U_div: jnp.ndarray      # (b, 2, h, w)
     flags: jnp.ndarray      # (b, h, w) int32
@@ -44,6 +47,7 @@ class Batch(NamedTuple):
     p_target: jnp.ndarray
     U_target: jnp.ndarray
     density_target: jnp.ndarray
+    div_mask: jnp.ndarray = None
 
 
 class TrainState(NamedTuple):
@@ -122,8 +126,9 @@ def make_loss_fn(
             params, batch.p_div, batch.U_div, batch.flags, batch.density_div,
             deterministic=deterministic,
         )
+        mask = batch.div_mask
         p_l2, div_l2, p_l1, div_l1 = short_term_losses(
-            cfg, p_out, U_out, batch.flags, batch.p_target
+            cfg, p_out, U_out, batch.flags, batch.p_target, mask=mask
         )
         total = p_l2 + div_l2 + p_l1 + div_l1
 
@@ -162,7 +167,7 @@ def make_loss_fn(
                 params, state_lt.p, state_lt.U, batch.flags,
                 jnp.zeros_like(p_out), deterministic=deterministic,
             )
-            div_lt = long_term_loss(cfg, U_lt, batch.flags)
+            div_lt = long_term_loss(cfg, U_lt, batch.flags, mask=mask)
             total = total + div_lt
 
         return total, LossTerms(total, p_l2, div_l2, p_l1, div_l1, div_lt)
@@ -275,17 +280,22 @@ def collect_rollout_frames(
         return simulate_step(sim_cfg, s, output_div=True)
 
     def project(s_div):
-        # finish the step classically so the trajectory continues
+        """Finish the step classically; returns (next_state, U_in, p) where
+        U_in is the divergent velocity EXACTLY as the learned projection
+        would consume it (post wall/const BCs) and p is the solver's
+        pressure for it (the anchoring target — the projection of a given
+        state is unique, so training can match it)."""
         U = _ops.set_wall_bcs(s_div.U, s_div.flags)
         if s_div.U_bc is not None:
             U = U * s_div.U_bc_inv_mask + s_div.U_bc
+        U_in = U
         rhs = velocity_divergence(U, s_div.flags)
         p = solve_jacobi_fixed(s_div.flags, rhs, sim_cfg.jacobi_iter)
         U = _ops.set_wall_bcs(velocity_update(p, U, s_div.flags),
                               s_div.flags)
         if s_div.U_bc is not None:
             U = U * s_div.U_bc_inv_mask + s_div.U_bc
-        return s_div._replace(p=p, U=U)
+        return s_div._replace(p=p, U=U), U_in, p
 
     @jax.jit
     def collect(state):
@@ -295,15 +305,19 @@ def collect_rollout_frames(
 
         def body(s, _):
             s_div = divergent_step(s)
+            s_proj, U_in, p = project(s_div)
             s_next = jax.lax.fori_loop(
-                0, stride - 1, lambda _, t: full_step(t), project(s_div)
+                0, stride - 1, lambda _, t: full_step(t), s_proj
             )
-            return s_next, s_div.U[0]
+            return s_next, (U_in[0], p[0])
 
-        _, frames = jax.lax.scan(body, state, None, length=n_frames)
-        return frames
+        _, (frames, p_frames) = jax.lax.scan(
+            body, state, None, length=n_frames
+        )
+        return frames, p_frames
 
-    return collect(state0), state0.flags
+    frames, p_frames = collect(state0)
+    return frames, p_frames, state0.flags
 
 
 def make_mixed_train_step(
@@ -334,22 +348,37 @@ def make_mixed_train_step(
     loss_fn = make_loss_fn(model, sim_cfg, cfg)
     n, _, h, w = frame_shape
 
-    def step(ts: TrainState, key, frames, frame_flags):
+    def step(ts: TrainState, key, frames, frame_p, frame_flags,
+             frame_div_mask=None):
         k_pick, k_idx, k_amp, k_syn, k_loss = jax.random.split(key, 5)
         syn = generate_batch(k_syn, batch_size, h, w, jacobi_iters)
         idx = jax.random.randint(k_idx, (batch_size,), 0, n)
         amp = jax.random.uniform(k_amp, (batch_size, 1, 1, 1), minval=0.5,
                                  maxval=1.5)
         roll_U = frames[idx] * amp
+        # The projection is linear: p(a*U) = a*p(U), so the solver-pressure
+        # target scales with the amplitude augmentation.
+        roll_p = frame_p[idx] * amp[..., 0]
         use_syn = (jax.random.uniform(k_pick, (batch_size, 1, 1, 1))
                    < synth_frac)
         U_div = jnp.where(use_syn, syn.U_div, roll_U)
         flags = jnp.where(use_syn[..., 0].astype(jnp.int32) > 0, syn.flags,
                           frame_flags)
+        p_target = jnp.where(use_syn[..., 0], syn.p_target, roll_p)
         zero = jnp.zeros((batch_size, h, w), jnp.float32)
+        if frame_div_mask is None:
+            div_mask = None
+        else:
+            # synthetic states have no clamped cells; rollout frames
+            # exclude the inlet (see losses.py)
+            div_mask = jnp.where(
+                use_syn[..., 0], jnp.ones((batch_size, h, w)),
+                frame_div_mask.astype(jnp.float32),
+            )
         batch = Batch(
             p_div=zero, U_div=U_div, flags=flags, density_div=zero,
-            p_target=zero, U_target=U_div, density_target=zero,
+            p_target=p_target, U_target=U_div, density_target=zero,
+            div_mask=div_mask,
         )
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts.params, batch, k_loss

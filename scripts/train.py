@@ -59,6 +59,9 @@ def main():
                          "train/rollout distribution gap)")
     ap.add_argument("--synthFrac", type=float, default=0.5,
                     help="fraction of synthetic samples when --plumeFrames")
+    ap.add_argument("--pL2", type=float, default=None,
+                    help="pressure-matching loss weight (anchors the "
+                         "projection to the solver's unique solution)")
     ap.add_argument("--labelIters", type=int, default=600,
                     help="Jacobi iterations for on-device labels")
     ap.add_argument("--evalSelect", action="store_true",
@@ -102,6 +105,8 @@ def main():
         tc = dataclasses.replace(tc, batch_size=args.bsz)
     if args.lr:
         tc = dataclasses.replace(tc, lr=args.lr)
+    if args.pL2 is not None:
+        tc = dataclasses.replace(tc, p_l2_lambda=args.pL2)
     if args.model:
         mconf["model"] = args.model
     if args.polishSweeps is not None:
@@ -152,7 +157,7 @@ def main():
                 args.res, args.res, density_val=0.1,
                 u_scale=2.0 * args.res / 128.0, rad=0.145,
             )
-            frames, frame_flags = collect_rollout_frames(
+            frames, frame_p, frame_flags = collect_rollout_frames(
                 roll_cfg, scene, args.plumeFrames, stride=4, warmup=50,
             )
             frames = jax.block_until_ready(frames)
@@ -162,7 +167,13 @@ def main():
                 synth_frac=args.synthFrac, jacobi_iters=args.labelIters,
                 optimizer=opt,
             )
-            extra = (frames, frame_flags)
+            # divergence-loss mask: exclude the inlet's BC-clamped cells
+            # (the step re-imposes them post-projection; penalising their
+            # divergence teaches jet suppression — see train/losses.py)
+            frame_div_mask = (scene.U_bc_inv_mask[:, 1] > 0.5) & (
+                scene.U_bc_inv_mask[:, 0] > 0.5
+            )
+            extra = (frames, frame_p, frame_flags, frame_div_mask)
         else:
             inner = make_on_device_train_step(
                 model, scfg, tc, args.res, args.res,
@@ -195,8 +206,12 @@ def main():
         eval_rollout = None
         if args.evalSelect:
             # Closed-loop selection metric: mean |div| over non-inlet fluid
-            # cells after a 400-step plume rollout with the candidate params
-            # (training loss alone selects one-step overfits; see RESULTS.md).
+            # cells after a 400-step plume rollout PLUS a growth-parity
+            # penalty vs a Jacobi-100 rollout of the same scene. Divergence
+            # alone is gameable: a net that suppresses the inlet jet gets a
+            # LOW residual on a dead flow (observed r2 at 512^2 — see
+            # RESULTS.md); the plume-front height anchors the physics
+            # (the reference's own headline metric, README.md:11-28).
             from fluidnet_cxx_tpu import ops as _ops
             from fluidnet_cxx_tpu.sim import (
                 create_plume_scene,
@@ -214,6 +229,31 @@ def main():
                 eval_state0.U_bc_inv_mask[:, 1] > 0.5
             )
 
+            def plume_height(s):
+                rho = s.density[0]
+                present = (
+                    jnp.max(rho, axis=1) > 0.05 * jnp.max(rho)
+                )
+                return jnp.max(
+                    jnp.where(present, jnp.arange(rho.shape[0]), 0)
+                )
+
+            cfg_ref = plume_config(
+                use_pallas=jax.default_backend() != "cpu",
+                line_trace=False, jacobi_iter=100,
+            )
+
+            @jax.jit
+            def _ref_height():
+                def body(s, _):
+                    return simulate_step(cfg_ref, s), None
+                s, _ = jax.lax.scan(body, eval_state0, None, length=400)
+                return plume_height(s)
+
+            h_ref = float(_ref_height())
+            print(f"evalSelect: Jacobi-100 reference height {h_ref:.0f}",
+                  flush=True)
+
             @jax.jit
             def eval_rollout(params):
                 project = lambda p, U, f, r: model.apply(params, p, U, f, r)
@@ -225,7 +265,9 @@ def main():
                     body, eval_state0, None, length=400
                 )
                 div = _ops.velocity_divergence(s.U, s.flags)
-                return jnp.sum(jnp.abs(div) * fl_mask) / jnp.sum(fl_mask)
+                mean_div = jnp.sum(jnp.abs(div) * fl_mask) / jnp.sum(fl_mask)
+                rel_h = jnp.abs(plume_height(s) - h_ref) / h_ref
+                return mean_div + 0.05 * rel_h
         t0 = time.time()
         window = []
         for i in range(CHUNK, args.onDevice + 1, CHUNK):

@@ -195,9 +195,17 @@ def test_collect_rollout_frames_and_mixed_step():
 
     cfg = plume_config(jacobi_iter=20, line_trace=False)
     scene = create_plume_scene(32, 32, u_scale=1.0, rad=0.2)
-    frames, flags = collect_rollout_frames(cfg, scene, n_frames=6,
-                                           stride=2, warmup=4)
+    frames, frame_p, flags = collect_rollout_frames(cfg, scene, n_frames=6,
+                                                    stride=2, warmup=4)
     assert frames.shape == (6, 2, 32, 32)
+    assert frame_p.shape == (6, 32, 32)
+    # the stored p is the solver's projection of the stored U: applying it
+    # must reduce the divergence
+    # the stored p is EXACTLY the solver's output for the stored U (the
+    # anchoring contract): recompute and compare bitwise-close
+    rhs = ops.velocity_divergence(frames[:1], flags)
+    p_re = np.asarray(ops.solve_jacobi_fixed(flags, rhs, cfg.jacobi_iter))
+    np.testing.assert_allclose(p_re, np.asarray(frame_p[:1]), atol=1e-6)
     divs = [
         float(np.abs(np.asarray(
             ops.velocity_divergence(f[None], flags))).max())
@@ -218,7 +226,8 @@ def test_collect_rollout_frames_and_mixed_step():
     key = jax.random.PRNGKey(3)
     for i in range(8):
         key, sub = jax.random.split(key)
-        ts, terms = step(ts, sub, frames, flags)
+        ts, terms = step(ts, sub, frames, frame_p, flags,
+                         (flags == 1))
         losses.append(float(terms.total))
     assert np.isfinite(losses).all()
     # per-step losses are noisy (random mixture/amplitudes); learning is
