@@ -44,29 +44,35 @@ def run_case(name, cfg, state0, iters, stat, project=None):
             div = ops.velocity_divergence(s.U, s.flags)
             mean_div = jnp.sum(jnp.abs(div) * fl_mask) / jnp.sum(fl_mask)
             max_div = jnp.max(jnp.abs(div) * fl_mask)
-            return s, mean_div, max_div
+            rho = s.density[0]
+            present = jnp.max(rho, axis=1) > 0.05 * jnp.max(rho)
+            height = jnp.max(
+                jnp.where(present, jnp.arange(rho.shape[0]), 0)
+            )
+            return s, mean_div, max_div, height
         return chunk
 
     chunk = chunk_fn(stat)
     s = state0
     means, maxs = [], []
+    height = 0
     for _ in range(iters // stat):
-        s, m, mx = chunk(s)
+        s, m, mx, height = chunk(s)
         means.append(float(m))
         maxs.append(float(mx))
 
     # marginal ms/step on the end state (the "busy plume" regime)
     run_a, run_b = chunk_fn(stat), chunk_fn(4 * stat)
-    s1, m, _ = run_a(s)
+    s1, m, _, _ = run_a(s)
     _ = float(m)
     t0 = time.perf_counter()
-    _, m, _ = run_a(s1)
+    _, m, _, _ = run_a(s1)
     _ = float(m)
     t_a = time.perf_counter() - t0
-    s2, m, _ = run_b(s)
+    s2, m, _, _ = run_b(s)
     _ = float(m)
     t0 = time.perf_counter()
-    _, m, _ = run_b(s2)
+    _, m, _, _ = run_b(s2)
     _ = float(m)
     t_b = time.perf_counter() - t0
     ms = 1e3 * max(t_b - t_a, 1e-9) / (3 * stat)
@@ -77,10 +83,12 @@ def run_case(name, cfg, state0, iters, stat, project=None):
         steps_per_sec=round(1e3 / ms, 1),
         mean_div=float(np.mean(means[1:])),
         max_div=float(np.max(maxs[1:])),
+        final_height=int(height),
     )
     print(
         f"{name:24s} {ms:7.3f} ms/step ({1e3/ms:7.1f} steps/s)  "
-        f"mean|div| {rec['mean_div']:.6f}  max|div| {rec['max_div']:.5f}",
+        f"mean|div| {rec['mean_div']:.6f}  max|div| {rec['max_div']:.5f}  "
+        f"height {rec['final_height']:4d}",
         flush=True,
     )
     return rec
