@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MODEL_DIR = os.environ.get("BENCH_MODEL_DIR", "trained_models/PUNet_512_r2")
+MODEL_DIR = os.environ.get("BENCH_MODEL_DIR", "trained_models/PUNetD2_128")
 V5E_PEAK_FLOPS = 197e12  # bf16
 
 
