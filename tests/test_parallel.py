@@ -152,3 +152,29 @@ def test_sharded_3d_step_matches_single():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.density),
                                np.asarray(ref.density), atol=1e-5)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_BIG_SHARD_TEST"),
+    reason="expensive full-size proof; set RUN_BIG_SHARD_TEST=1",
+)
+def test_sharded_cylinder_full_size_step():
+    """One width-sharded step of the reference's canonical 8000x800
+    cylinder (viscous + stick BCs) on the 8-device mesh — the motivating
+    workload for the sx axis (ref: pytorch/cylinder.py:163-209)."""
+    from fluidnet_cxx_tpu.sim import create_cylinder_scene, cylinder_config
+    from fluidnet_cxx_tpu.sim.step import simulate_step
+
+    mesh = make_mesh(8, dp=1, sx=8)
+    state, visc = create_cylinder_scene(res_x=8000, res_y=800)
+    cfg = cylinder_config(visc, jacobi_iter=10)
+    shardings = state_sharding(mesh, state)
+    state = jax.device_put(state, shardings)
+    out = jax.jit(
+        lambda s: simulate_step(cfg, s), in_shardings=(shardings,)
+    )(state)
+    U = np.asarray(out.U)
+    assert np.isfinite(U).all()
+    assert np.abs(U).max() < 50  # bounded
+    # sharded across all 8 devices on the width axis
+    assert len(out.U.sharding.device_set) == 8
