@@ -44,9 +44,10 @@ def plot_field(
     plt.close(fig)
 
 
-def plot_sim_snapshot(state, filename: str, it: int = 0):
+def plot_sim_snapshot(state, filename: str, it: int = 0, crop=None):
     """5-panel live view: density, u, v, p, divergence
-    (ref: plume.py:208-309)."""
+    (ref: plume.py:208-309). ``crop=(y0, y1, x0, x1)`` zooms a region
+    (e.g. the cylinder wake in a long channel)."""
     from ..ops.grid import get_centered
     from ..ops.stencils import velocity_divergence
 
@@ -56,6 +57,11 @@ def plot_sim_snapshot(state, filename: str, it: int = 0):
     cc = np.asarray(get_centered(state.U))[0]
     div = np.asarray(velocity_divergence(state.U, state.flags))[0]
     mask = np.asarray(state.flags)[0] == 2
+    if crop is not None:
+        y0, y1, x0, x1 = crop
+        rho, p, mask = rho[y0:y1, x0:x1], p[y0:y1, x0:x1], mask[y0:y1, x0:x1]
+        cc = cc[:, y0:y1, x0:x1]
+        div = div[y0:y1, x0:x1]
 
     fig, axes = plt.subplots(1, 5, figsize=(20, 4))
     panels = [

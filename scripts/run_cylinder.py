@@ -59,6 +59,14 @@ def main():
 
     def on_stats(state, it):
         plot_sim_snapshot(state, os.path.join(out, f"snap_{it:06d}.png"), it)
+        # zoomed wake view around the cylinder for long channels
+        if args.resX >= 4 * args.resY:
+            x0 = max(int(args.centerX - 3 * args.radius), 0)
+            x1 = min(int(args.centerX + 20 * args.radius), args.resX)
+            plot_sim_snapshot(
+                state, os.path.join(out, f"wake_{it:06d}.png"), it,
+                crop=(0, args.resY, x0, x1),
+            )
         save_sim_restart(restart_file, state, it)
 
     run_simulation(
