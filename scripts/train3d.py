@@ -99,8 +99,10 @@ def main():
             t0 = time.time()
 
     # Report the projection quality of the final params vs the Jacobi label.
-    batch = generate_batch3(jax.random.PRNGKey(99), 2, r, r, r,
-                            args.labelIters)
+    # (jit the generator: the complex FFT ops are jit-only on this backend)
+    batch = jax.jit(
+        lambda k: generate_batch3(k, 2, r, r, r, args.labelIters)
+    )(jax.random.PRNGKey(99))
     U_div, flags, p_t, U_t = batch
     zero = jnp.zeros_like(p_t)
     _, U_out = model.apply(ts.params, zero, U_div, flags, zero)
