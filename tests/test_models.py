@@ -128,20 +128,40 @@ def test_punet_forward_and_grads(inputs):
 
 
 def test_polish_sweeps_reduce_divergence(inputs):
-    """polish_sweeps must strictly reduce post-projection divergence for an
-    untrained net, and a large sweep count must approach the Jacobi answer."""
-    p, U, flags, rho = inputs
+    """polish_sweeps must sharply reduce post-projection divergence for an
+    untrained net, and many sweeps must approach the Jacobi-from-scratch
+    answer. (From a random warm start the residual norm is not strictly
+    monotone in sweep count under the damped smoother — mid-frequency
+    residual transients — so the checks are 0 -> 8 reduction and 256-sweep
+    convergence, not monotonicity between arbitrary counts.) Obstacle-free
+    domain: the post-projection set_wall_bcs re-zeroes faces next to
+    obstacles, which puts a solve-independent floor under the divergence
+    and would mask the sweep effect."""
+    p, U, _, rho = inputs
+    flags = np.asarray(ops.empty_domain(2, H, W))
+    # wall BCs applied first, as the real step does pre-projection — raw
+    # wall-normal velocities carry divergence no pressure field can remove
+    U = np.asarray(ops.set_wall_bcs(U, flags))
     base, params = build("PUNet", punet_widths=(16, 32), punet_patch=4)
-    div0 = None
     norms = {}
-    for sweeps in (0, 8, 64):
+    for sweeps in (0, 8, 256):
         model = FluidNet(base.cfg.__class__(**{
             **base.cfg.__dict__, "polish_sweeps": sweeps}))
         _, U_out = model.apply(params, p, U, flags, rho)
         d = np.asarray(ops.velocity_divergence(U_out, flags))
         norms[sweeps] = np.sqrt((d ** 2).mean())
-    assert norms[8] < norms[0]
-    assert norms[64] < norms[8]
+    assert norms[8] < 0.5 * norms[0]
+    assert norms[256] < norms[8]
+    # 256 damped sweeps from the CNN warm start ~= the classical projection
+    div_in = ops.velocity_divergence(U, flags)
+    p_ref = ops.solve_jacobi_fixed(flags, div_in, 600)
+    U_ref = ops.set_wall_bcs(
+        ops.velocity_update(p_ref, U, flags), flags
+    )
+    ref_norm = float(np.sqrt(
+        (np.asarray(ops.velocity_divergence(U_ref, flags)) ** 2).mean()
+    ))
+    assert norms[256] < 2.5 * ref_norm
 
 
 def test_punet3_forward_projection_and_grads():
