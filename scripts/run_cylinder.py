@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--restartSim", action="store_true")
     ap.add_argument("--fast", action="store_true",
                     help="fused Pallas kernels where eligible")
+    ap.add_argument("--simMethod", default="jacobi",
+                    choices=["jacobi", "convnet"])
+    ap.add_argument("--modelDir", default="trained_models/PUNetD2_128",
+                    help="checkpoint for --simMethod convnet")
     args = ap.parse_args()
 
     from fluidnet_cxx_tpu.sim import create_cylinder_scene, cylinder_config
@@ -50,6 +54,30 @@ def main():
     cfg = cylinder_config(viscosity, jacobi_iter=args.jacobiIter)
     if args.fast:
         cfg = cfg.replace(use_pallas=True)
+    project = None
+    if args.simMethod == "convnet":
+        import dataclasses
+
+        import jax
+
+        from fluidnet_cxx_tpu.models import FluidNet, make_project_fn
+        from fluidnet_cxx_tpu.train import TrainConfig, init_train_state
+        from fluidnet_cxx_tpu.train.checkpoint import (
+            load_model_config,
+            load_train_checkpoint,
+        )
+
+        # XLA polish: the Pallas sweep kernel hits a Mosaic layout
+        # mismatch when fused into the conv graph at non-square shapes,
+        # and at cylinder throughputs the XLA sweeps (~0.2 ms) are noise.
+        mcfg = load_model_config(args.modelDir)
+        model = FluidNet(mcfg)
+        template = init_train_state(
+            model, jax.random.PRNGKey(0), TrainConfig(), 64, 64
+        )
+        ts, _, _ = load_train_checkpoint(args.modelDir, template, best=True)
+        project = make_project_fn(model, ts.params)
+        cfg = cfg.replace(sim_method="convnet")
     print(f"cylinder {args.resX}x{args.resY}, Re={args.re}, nu={viscosity:.3f}")
 
     it0 = 0
@@ -71,7 +99,7 @@ def main():
 
     run_simulation(
         cfg, state, args.maxIter, args.statIter,
-        on_stats=on_stats, start_it=it0,
+        project_fn=project, on_stats=on_stats, start_it=it0,
     )
 
 
