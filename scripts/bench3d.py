@@ -64,7 +64,9 @@ def main():
     print(f"device: {jax.devices()[0]} | 3-D plume {n}^3")
 
     cases = [
-        ("window (TPU fast path)", dict(advection_impl="window")),
+        ("pallas fused advection", dict(advection_impl="window",
+                                        use_pallas=True)),
+        ("window (XLA)", dict(advection_impl="window")),
         ("gather", dict(advection_impl="gather")),
     ]
     for name, kw in cases:
@@ -104,7 +106,7 @@ def main():
         cfg = plume_config(
             dt=args.dt, sim_method="convnet", buoyancy_scale=0.5,
             gravity_vec=(0.0, -1.0, 0.0), line_trace=False,
-            advection_impl="window",
+            advection_impl="window", use_pallas=True,
         )
         sps, s = time_steps(
             lambda st: simulate_step3(cfg, st, project_fn=project),

@@ -132,3 +132,43 @@ def test_jacobi_pallas_warm_start_matches_xla(rng, monkeypatch):
     got = np.asarray(jp.solve_jacobi_pallas(flags, div, 12, p0=p0))
     want = np.asarray(ops.solve_jacobi_fixed(flags, div, 12, p0=p0))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_advect_scalar3_pallas_matches_window(rng):
+    """3-D fused advection kernel == the XLA window path (interpret mode).
+    (On real hardware the kernel is a documented negative result — the
+    masked-window form is VPU-bound and XLA wins — but it must stay
+    bit-correct as the reference implementation of the tiling scheme.)"""
+    from fluidnet_cxx_tpu.ops import ops3d
+    from fluidnet_cxx_tpu.ops.pallas.advect3_pallas import (
+        advect_scalar3_pallas,
+    )
+
+    flags = np.asarray(ops3d.empty_domain3(1, 16, 32, 16))
+    U = np.clip(1.5 * rng.standard_normal((1, 3, 16, 32, 16)), -2, 2
+                ).astype(np.float32)
+    rho = rng.random((1, 16, 32, 16)).astype(np.float32)
+    want = np.asarray(ops3d.advect_scalar3(
+        0.8, rho, U, flags, 0.6, impl="window", max_disp=2))
+    got = np.asarray(advect_scalar3_pallas(
+        0.8, rho, U, flags, 0.6, max_disp=2, block_z=8, block_y=16,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_advect_velocity3_pallas_matches_window(rng):
+    """3-D fused MAC velocity advection kernel == XLA window (interpret)."""
+    from fluidnet_cxx_tpu.ops import ops3d
+    from fluidnet_cxx_tpu.ops.pallas.advect3_pallas import (
+        advect_velocity3_pallas,
+    )
+
+    flags = np.asarray(ops3d.empty_domain3(1, 16, 32, 16))
+    U = np.clip(1.5 * rng.standard_normal((1, 3, 16, 32, 16)), -2, 2
+                ).astype(np.float32)
+    want = np.asarray(ops3d.advect_velocity3(
+        0.8, U, flags, 0.6, impl="window", max_disp=2))
+    got = np.asarray(advect_velocity3_pallas(
+        0.8, U, flags, 0.6, max_disp=2, block_z=8, block_y=16,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
