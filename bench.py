@@ -11,7 +11,7 @@ cannot run here — it is CUDA-only at 512^2); override with env
 BENCH_CPU_REF_SPS if a measured torch number is available.
 
 The learned projection is the SHIPPED trained flagship checkpoint
-(env BENCH_MODEL_DIR, default trained_models/PUNet_512_r2), so the headline
+(env BENCH_MODEL_DIR, default trained_models/PUNetD2_128), so the headline
 throughput and the quality diagnostics come from the same artifact
 (VERDICT r1 item 10). Falls back to an untrained net if the checkpoint is
 missing.

@@ -200,6 +200,7 @@ def model_config_from_mconf(mconf: Dict[str, Any]) -> ModelConfig:
         polish_damping=float(
             _g(mconf, "polishDamping", defaults.polish_damping)
         ),
+        polish_impl=str(_g(mconf, "polishImpl", defaults.polish_impl)),
     )
 
 

@@ -108,10 +108,18 @@ class FluidNet3(nn.Module):
         )(x, deterministic=deterministic)[..., 0]
 
         if self.cfg.polish_sweeps > 0:
-            p_hat = ops3d.solve_jacobi_fixed3(
-                flags, div / s4, self.cfg.polish_sweeps, p0=p_hat,
-                damping=self.cfg.polish_damping,
-            )
+            if self.cfg.polish_impl == "pallas":
+                from ..ops.pallas.jacobi3_pallas import solve_jacobi3_pallas
+
+                p_hat = solve_jacobi3_pallas(
+                    flags, div / s4, self.cfg.polish_sweeps, p0=p_hat,
+                    damping=self.cfg.polish_damping,
+                )
+            else:
+                p_hat = ops3d.solve_jacobi_fixed3(
+                    flags, div / s4, self.cfg.polish_sweeps, p0=p_hat,
+                    damping=self.cfg.polish_damping,
+                )
         U_new = ops3d.velocity_update3(p_hat, U / s4[:, None], flags)
         p_out = p_hat * s4
         U_new = ops3d.set_wall_bcs3(U_new * s4[:, None], flags)

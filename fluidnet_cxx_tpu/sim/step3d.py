@@ -17,6 +17,8 @@ from ..ops import ops3d
 
 ProjectFn3 = Callable[..., tuple]
 
+_WARNED_DISP3 = False
+
 
 class SimState3(NamedTuple):
     p: jnp.ndarray        # (b, d, h, w)
@@ -83,9 +85,30 @@ def simulate_step3(
     U, rho, p = state.U, state.density, state.p
     dt = cfg.dt
     _, d, h, w = flags.shape
+    # The 3-D bounded-window engines support per-axis displacements <= 2
+    # cells (the 2-D default contract is 4). Warn — once — when the
+    # configured contract exceeds what 3-D can honour, instead of silently
+    # tightening it (ADVICE r2); use impl='gather' for larger displacements.
+    # The runtime CFL diagnostic (ops.window.cfl_violation) reports actual
+    # violations of the effective bound.
+    impl = cfg.advection_impl
+    if impl == "window" and cfg.max_disp > 2:
+        global _WARNED_DISP3
+        if not _WARNED_DISP3:
+            import warnings
+
+            warnings.warn(
+                f"3-D window advection bounds per-axis displacements to 2 "
+                f"cells (configured max_disp={cfg.max_disp}); trajectories "
+                f"moving faster are clamped. Set max_disp=2 to silence, or "
+                f"advection_impl='gather' for unbounded displacements.",
+                stacklevel=2,
+            )
+            _WARNED_DISP3 = True
     # Fused Pallas 3-D advection (8.4x the XLA window path on v5e).
     pallas_ok = (
         cfg.use_pallas
+        and impl == "window"
         and cfg.advection_method != "eulerFluidNet"
         and not cfg.line_trace
         and d % 8 == 0 and h % 32 == 0 and w % 128 == 0
@@ -105,7 +128,7 @@ def simulate_step3(
                 dt, rho, U, flags,
                 maccormack_strength=cfg.maccormack_strength,
                 method=cfg.advection_method,
-                impl=cfg.advection_impl,
+                impl=impl,
                 max_disp=min(cfg.max_disp, 2),
                 line_trace=cfg.line_trace,
             )
@@ -122,7 +145,7 @@ def simulate_step3(
             dt, U, flags,
             maccormack_strength=cfg.maccormack_strength,
             method=cfg.advection_method,
-            impl=cfg.advection_impl,
+            impl=impl,
             max_disp=min(cfg.max_disp, 2),
         )
 
@@ -148,7 +171,14 @@ def simulate_step3(
         p, U = project_fn(p, U, flags, rho)
     else:
         div = ops3d.velocity_divergence3(U, flags)
-        p = ops3d.solve_jacobi_fixed3(flags, div, cfg.jacobi_iter)
+        from ..ops.pallas.jacobi3_pallas import vmem_fits3
+
+        if cfg.use_pallas and w % 128 == 0 and vmem_fits3(d, h, w):
+            from ..ops.pallas.jacobi3_pallas import solve_jacobi3_pallas
+
+            p = solve_jacobi3_pallas(flags, div, cfg.jacobi_iter)
+        else:
+            p = ops3d.solve_jacobi_fixed3(flags, div, cfg.jacobi_iter)
         U = ops3d.velocity_update3(p, U, flags)
 
     U = _wall_bcs3(cfg, state, U)

@@ -281,21 +281,35 @@ def collect_rollout_frames(
 
     def project(s_div):
         """Finish the step classically; returns (next_state, U_in, p) where
-        U_in is the divergent velocity EXACTLY as the learned projection
-        would consume it (post wall/const BCs) and p is the solver's
-        pressure for it (the anchoring target — the projection of a given
-        state is unique, so training can match it)."""
+        U_in is the divergent velocity EXACTLY as the convnet-mode step
+        would feed the learned projection (step.py _wall_bcs skips
+        ``set_wall_bcs`` in convnet mode — only stick BCs and const/inlet
+        BCs are applied pre-projection) and p is the solver's pressure for
+        THAT field (the anchoring target — the projection of a given state
+        is unique, so training can match it). The trajectory itself is
+        continued with the unmodified classical step (set_wall_bcs applied)
+        so the rollout stays the Jacobi-mode trajectory."""
+        # Net-input distribution: convnet-mode pre-projection velocity.
+        U_in = s_div.U
+        if s_div.flags_stick is not None:
+            U_in = _ops.set_wall_bcs_stick(U_in, s_div.flags,
+                                           s_div.flags_stick)
+        if s_div.U_bc is not None:
+            U_in = U_in * s_div.U_bc_inv_mask + s_div.U_bc
+        rhs_in = velocity_divergence(U_in, s_div.flags)
+        p_in = solve_jacobi_fixed(s_div.flags, rhs_in, sim_cfg.jacobi_iter)
+
+        # Classical continuation (exactly the jacobi-mode step tail).
         U = _ops.set_wall_bcs(s_div.U, s_div.flags)
         if s_div.U_bc is not None:
             U = U * s_div.U_bc_inv_mask + s_div.U_bc
-        U_in = U
         rhs = velocity_divergence(U, s_div.flags)
         p = solve_jacobi_fixed(s_div.flags, rhs, sim_cfg.jacobi_iter)
         U = _ops.set_wall_bcs(velocity_update(p, U, s_div.flags),
                               s_div.flags)
         if s_div.U_bc is not None:
             U = U * s_div.U_bc_inv_mask + s_div.U_bc
-        return s_div._replace(p=p, U=U), U_in, p
+        return s_div._replace(p=p, U=U), U_in, p_in
 
     @jax.jit
     def collect(state):

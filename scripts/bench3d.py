@@ -73,7 +73,7 @@ def main():
         cfg = plume_config(
             dt=args.dt, jacobi_iter=args.jacobiIter,
             buoyancy_scale=0.5, gravity_vec=(0.0, -1.0, 0.0),
-            line_trace=False, **kw,
+            line_trace=False, max_disp=2, **kw,
         )
         sps, s = time_steps(lambda st: simulate_step3(cfg, st), state,
                             args.steps)
@@ -105,7 +105,7 @@ def main():
         project = make_project_fn3(model, ts.params)
         cfg = plume_config(
             dt=args.dt, sim_method="convnet", buoyancy_scale=0.5,
-            gravity_vec=(0.0, -1.0, 0.0), line_trace=False,
+            gravity_vec=(0.0, -1.0, 0.0), line_trace=False, max_disp=2,
             advection_impl="window", use_pallas=True,
         )
         sps, s = time_steps(

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Quality-per-ms curve: learned projection vs Jacobi at a given resolution.
 
-    python scripts/quality_per_ms.py --modelDir trained_models/PUNet_512_r2
+    python scripts/quality_per_ms.py --modelDir trained_models/PUNetD2_128
         [--res 512] [--iters 600] [--out out/qpm_512.json]
 
 For each projection configuration — Jacobi-N sweeps and the learned model

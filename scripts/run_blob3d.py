@@ -48,6 +48,7 @@ def main():
     cfg = plume_config(
         dt=args.dt, jacobi_iter=args.jacobiIter,
         buoyancy_scale=args.buoyancy, gravity_vec=(0.0, -1.0, 0.0),
+        max_disp=2,
     )
 
     @jax.jit

@@ -292,7 +292,7 @@ def test_simulate_step3():
     rho = np.zeros((1, 16, 24, 16), np.float32)
     rho[0, 6:10, 2:6, 6:10] = 1.0
     state = state._replace(density=jnp.asarray(rho))
-    cfg = plume_config(jacobi_iter=40, dt=0.4)
+    cfg = plume_config(jacobi_iter=40, dt=0.4, max_disp=2)
     step = jax.jit(lambda s: simulate_step3(cfg, s))
     for _ in range(10):
         state = step(state)

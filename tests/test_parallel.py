@@ -131,7 +131,7 @@ def test_sharded_3d_step_matches_single():
     mesh = make_mesh(8, dp=1, sx=8)
     cfg = plume_config(dt=0.25, jacobi_iter=10, buoyancy_scale=0.5,
                        gravity_vec=(0.0, -1.0, 0.0), line_trace=False,
-                       advection_impl="window")
+                       advection_impl="window", max_disp=2)
     state = create_plume_scene3(16, 24, 32)
 
     ref = simulate_step3(cfg, state)
