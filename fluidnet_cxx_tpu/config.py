@@ -33,7 +33,16 @@ class SimConfig:
     periodic_y: bool = False
     periodic_z: bool = False  # 3-D only
     advection_method: str = "maccormackFluidNet"
-    sim_method: str = "jacobi"  # 'jacobi' | 'convnet'
+    sim_method: str = "jacobi"  # 'jacobi' | 'convnet' | 'multigrid'
+    # Multigrid projection knobs (sim_method='multigrid'; ops/multigrid.py).
+    # 2 V-cycles at (4,4) smoothing already beat Jacobi-100 on residual at
+    # ~1/4 the sweep count; 8+ cycles converge to the 1e-5 ground-truth
+    # level the reference's own convergence test uses
+    # (solver_cpp/test/test_fluid.cpp:438).
+    mg_vcycles: int = 2
+    mg_pre: int = 4
+    mg_post: int = 4
+    mg_coarse_iters: int = 32
     # Sampling engine: 'window' (bounded-window shifts, the TPU fast path,
     # exact for CFL <= max_disp) or 'gather' (arbitrary displacement).
     advection_impl: str = "window"

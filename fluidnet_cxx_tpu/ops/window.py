@@ -229,3 +229,21 @@ def make_blocked_lookup_window(flags, D: int = 4):
         return (acc > 0.5) & (~out)
 
     return lookup
+
+
+def max_displacement(U, dt):
+    """Largest per-axis back-trace displacement (in cells) the advection
+    will attempt this step: dt * max|centered velocity|. Cheap (one reduce)
+    — the runtime CFL guard for the bounded-window engines."""
+    from .grid import get_centered
+
+    cc = get_centered(U)
+    return dt * jnp.max(jnp.abs(cc))
+
+
+def max_displacement3(U, dt):
+    """3-D twin of max_displacement."""
+    from .ops3d import get_centered3
+
+    cc = get_centered3(U)
+    return dt * jnp.max(jnp.abs(cc))

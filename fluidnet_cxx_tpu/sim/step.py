@@ -179,6 +179,13 @@ def simulate_step(
     if cfg.sim_method == "convnet":
         assert project_fn is not None, "convnet projection needs project_fn"
         p, U = project_fn(p, U, flags, rho)
+    elif cfg.sim_method == "multigrid":
+        from ..ops.multigrid import solve_mg
+
+        div = velocity_divergence(U, flags)
+        p = solve_mg(flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
+                     post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters)
+        U = velocity_update(p, U, flags)
     else:
         div = velocity_divergence(U, flags)
         if cfg.p_tol > 0:

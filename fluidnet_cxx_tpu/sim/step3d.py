@@ -169,6 +169,13 @@ def simulate_step3(
     if cfg.sim_method == "convnet":
         assert project_fn is not None, "convnet projection needs project_fn"
         p, U = project_fn(p, U, flags, rho)
+    elif cfg.sim_method == "multigrid":
+        from ..ops.multigrid import solve_mg3
+
+        div = ops3d.velocity_divergence3(U, flags)
+        p = solve_mg3(flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
+                      post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters)
+        U = ops3d.velocity_update3(p, U, flags)
     else:
         div = ops3d.velocity_divergence3(U, flags)
         from ..ops.pallas.jacobi3_pallas import vmem_fits3

@@ -101,6 +101,7 @@ def main():
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--statIter", type=int, default=100)
     ap.add_argument("--jacobi", default="28,50,100,200,400")
+    ap.add_argument("--mg", default="1,2,4")
     ap.add_argument("--polish", default="0,16,32,64,128")
     ap.add_argument("--out", default="out/qpm.json")
     args = ap.parse_args()
@@ -126,6 +127,15 @@ def main():
         cfg = plume_config(jacobi_iter=n, **fast)
         results.append(
             run_case(f"jacobi-{n}", cfg, state0, args.iters, args.statIter)
+        )
+
+    # Geometric multigrid (ops/multigrid.py): the honest classical
+    # competitor — and, at enough cycles, the converged ground truth
+    # (VERDICT r2 item 7).
+    for nv in [int(x) for x in args.mg.split(",") if x]:
+        cfg = plume_config(sim_method="multigrid", mg_vcycles=nv, **fast)
+        results.append(
+            run_case(f"mg-{nv}v", cfg, state0, args.iters, args.statIter)
         )
 
     mcfg = load_model_config(args.modelDir)

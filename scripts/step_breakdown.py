@@ -74,24 +74,30 @@ def main():
                                u_scale=2.0 * res / 128.0, rad=0.145)
     cfg = plume_config(dt=0.1, use_pallas=True, line_trace=False)
     flags = state.flags
-    # one warm classical step so the timed fields are physical
-    s = simulate_step(cfg.replace(sim_method="jacobi", jacobi_iter=28), state)
+    # one warm classical step so the timed fields are physical (jitted:
+    # an eager step dispatches hundreds of ops through the remote tunnel)
+    cfg_warm = cfg.replace(sim_method="jacobi", jacobi_iter=28)
+    s = jax.jit(lambda st: simulate_step(cfg_warm, st))(state)
     U, rho = s.U, s.density
     dt, mac = cfg.dt, cfg.maccormack_strength
-    div = ops.velocity_divergence(U, flags)
+    div = jax.jit(ops.velocity_divergence)(U, flags)
 
     out = {}
 
-    out["advect_scalar_pallas"] = marginal_ms(
+    def record(name, val):
+        out[name] = val
+        print(f"{name}: {val:.4f} ms", file=sys.stderr, flush=True)
+
+    record("advect_scalar_pallas", marginal_ms(
         lambda r: _decay(advect_scalar_pallas(
             dt, r, U, flags, maccormack_strength=mac,
             sample_outside_fluid=cfg.sample_outside_fluid,
             max_disp=cfg.max_disp)),
-        rho, n)
-    out["advect_velocity_pallas"] = marginal_ms(
+        rho, n))
+    record("advect_velocity_pallas", marginal_ms(
         lambda u: _decay(advect_velocity_pallas(
             dt, u, flags, maccormack_strength=mac, max_disp=cfg.max_disp)),
-        U, n)
+        U, n))
 
     def sources(c):
         u, r = c
@@ -101,27 +107,27 @@ def main():
         r = r * s.density_bc_inv_mask + s.density_bc
         return _decay(u), _decay(r)
 
-    out["sources_bcs"] = marginal_ms(sources, (U, rho), n)
-    out["divergence"] = marginal_ms(
+    record("sources_bcs", marginal_ms(sources, (U, rho), n))
+    record("divergence", marginal_ms(
         lambda u: _decay(
             u + 1e-30 * ops.velocity_divergence(u, flags)[:, None]),
-        U, n)
+        U, n))
 
-    out["jacobi28_pallas"] = marginal_ms(
+    record("jacobi28_pallas", marginal_ms(
         lambda d: _decay(solve_jacobi_pallas(flags, d, 28)) + 1e-30 * d,
-        div, n)
-    out["jacobi100_pallas"] = marginal_ms(
+        div, n))
+    record("jacobi100_pallas", marginal_ms(
         lambda d: _decay(solve_jacobi_pallas(flags, d, 100)) + 1e-30 * d,
-        div, max(n // 2, 50))
-    out["polish32_damped_pallas"] = marginal_ms(
+        div, max(n // 2, 50)))
+    record("polish32_damped_pallas", marginal_ms(
         lambda d: _decay(solve_jacobi_pallas(flags, d, 32, p0=d,
                                              damping=2.0 / 3.0)) + 1e-30 * d,
-        div, n)
-    out["velocity_update_wallbcs"] = marginal_ms(
+        div, n))
+    record("velocity_update_wallbcs", marginal_ms(
         lambda c: (_decay(c[0]),
                    _decay(ops.set_wall_bcs(
                        ops.velocity_update(c[0], c[1], flags), flags))),
-        (div, U), n)
+        (div, U), n))
 
     try:
         import dataclasses
@@ -147,22 +153,22 @@ def main():
                 return _decay(p2), _decay(u2)
             return f
 
-        out["model_forward_nopolish"] = marginal_ms(
-            fwd(model_np), (div, U), n)
-        out["model_forward_with_polish"] = marginal_ms(
-            fwd(model_pol), (div, U), n)
+        record("model_forward_nopolish", marginal_ms(
+            fwd(model_np), (div, U), n))
+        record("model_forward_with_polish", marginal_ms(
+            fwd(model_pol), (div, U), n))
 
         project = make_project_fn(model_pol, ts.params)
         cfg_cnn = cfg.replace(sim_method="convnet")
-        out["full_step_convnet"] = marginal_ms(
-            lambda st: simulate_step(cfg_cnn, st, project_fn=project), s, n)
+        record("full_step_convnet", marginal_ms(
+            lambda st: simulate_step(cfg_cnn, st, project_fn=project), s, n))
     except Exception as e:
         print(f"model phases skipped: {e}", file=sys.stderr)
 
     for ji in (28, 100):
         cfg_j = cfg.replace(sim_method="jacobi", jacobi_iter=ji)
-        out[f"full_step_jacobi{ji}"] = marginal_ms(
-            lambda st, c=cfg_j: simulate_step(c, st), s, n)
+        record(f"full_step_jacobi{ji}", marginal_ms(
+            lambda st, c=cfg_j: simulate_step(c, st), s, n))
 
     out["sum_of_convnet_phases"] = sum(
         out.get(k, 0.0)

@@ -88,3 +88,29 @@ def test_mg_constant_null_vector():
     fine = mg._prolong(e_ext)
     fine_live = np.asarray(fine)[np.asarray(cont) > 0]
     np.testing.assert_allclose(fine_live, 2.0, atol=1e-6)
+
+
+def test_sim_method_multigrid_runs_plume():
+    """sim_method='multigrid' drives a closed-loop plume with far lower
+    divergence than the same-scene Jacobi-34 default."""
+    import jax
+
+    from fluidnet_cxx_tpu import ops
+    from fluidnet_cxx_tpu.sim import (
+        create_plume_scene,
+        plume_config,
+        simulate_step,
+    )
+
+    state = create_plume_scene(64, 64, u_scale=1.0, rad=0.15)
+    cfg = plume_config(sim_method="multigrid", mg_vcycles=2,
+                       line_trace=False)
+    step = jax.jit(lambda s: simulate_step(cfg, s))
+    for _ in range(30):
+        state = step(state)
+    rho = np.asarray(state.density)
+    div = np.asarray(ops.velocity_divergence(state.U, state.flags))
+    fl = np.asarray((state.flags == 1)
+                    & (state.U_bc_inv_mask[:, 1] > 0.5))
+    assert np.isfinite(rho).all()
+    assert np.abs(div * fl).max() < 0.02, np.abs(div * fl).max()
