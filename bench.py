@@ -1,29 +1,27 @@
-"""Headline benchmark: 2-D plume at 512x512 with the learned projection.
+"""Headline benchmark: 2-D plume, learned + classical projections.
 
 Prints ONE JSON line:
   {"metric": "plume_512_cnn_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": R, ...extra diagnostic fields...}
+   "vs_baseline": R, "table_512": {...}, "table_128": {...}, ...}
 
-``vs_baseline`` is measured steps/s divided by the driver target of
-50x a CPU reference (BASELINE.json north star). The CPU reference proxy is
-this framework's own step on the host CPU backend (the PyTorch reference
-cannot run here — it is CUDA-only at 512^2); override with env
-BENCH_CPU_REF_SPS if a measured torch number is available.
+Every headline claim in README/RESULTS must be provable from THIS artifact
+alone (VERDICT r2 item 2): for each case — the flagship learned projection,
+Jacobi-28/100/200 (the reference's solver at its shipped iteration counts,
+ref: pytorch/plumeConfig.yaml:62), and the fused-Pallas multigrid — the same
+run reports steps/s (median of 3 marginal-timing reps + relative spread),
+mean|div| and max|div| over non-inlet fluid cells, and the plume-front
+height at the end of the rollout.
 
-The learned projection is the SHIPPED trained flagship checkpoint
-(env BENCH_MODEL_DIR, default trained_models/PUNetD2_128), so the headline
-throughput and the quality diagnostics come from the same artifact
-(VERDICT r1 item 10). Falls back to an untrained net if the checkpoint is
-missing.
+``vs_baseline`` is CNN steps/s over the driver target of 50x a CPU
+reference (BASELINE.json north star; CPU proxy measured once = 0.583
+steps/s, override with BENCH_CPU_REF_SPS).
 
 Methodology: marginal steps/s — time jitted scans of n and 4n steps on
-already-compiled invocations with chained inputs and difference them; the
-axon remote executor adds a fixed ~45 ms per invocation which single-N
-timing would smear over every step. MFU is XLA's cost_analysis FLOP count
-for the projection forward divided by measured projection time and the v5e
-bf16 peak (197 TFLOP/s).
-
-Extra diagnostics (Jacobi variants, divergence, 128^2 table) go to stderr.
+already-compiled invocations with chained inputs and difference them (the
+axon remote executor adds a fixed ~45 ms per invocation and memoizes
+repeated identical calls, so naive timing is wrong twice). MFU is XLA's
+cost_analysis FLOP count for the projection forward over measured time and
+the v5e bf16 peak (197 TFLOP/s).
 """
 import json
 import os
@@ -43,7 +41,7 @@ def log(*a):
 
 
 def load_flagship(res):
-    """(project_fn, info) from the shipped checkpoint; untrained fallback."""
+    """(model, params, project_fn, info) from the shipped checkpoint."""
     import dataclasses
 
     from fluidnet_cxx_tpu.config import ModelConfig
@@ -76,17 +74,12 @@ def load_flagship(res):
     return model, params, make_project_fn(model, params), info
 
 
-def build(res, sim_method="convnet", jacobi_iter=200, fast=True,
-          project=None):
+def build(res, cfg_kw, project=None):
     from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
 
-    cfg = plume_config(sim_method=sim_method, jacobi_iter=jacobi_iter, dt=0.1)
-    if fast:
-        # Fused Pallas kernels + no line trace. The trace is numerically
-        # inert for the obstacle-free plume (verified < 3e-7 over 20 steps)
-        # and the Pallas path is bit-exact vs the XLA window path.
-        cfg = cfg.replace(use_pallas=jax.default_backend() != "cpu",
-                          line_trace=False)
+    fast = dict(use_pallas=jax.default_backend() != "cpu", line_trace=False,
+                dt=0.1)
+    cfg = plume_config(**fast, **cfg_kw)
     # plumeConfig.yaml scene: injectionDensity .1, velocity 2 (scaled by
     # res/128 like solver_cpp/simulate/simulate.cpp:253), radius .145.
     state = create_plume_scene(
@@ -99,49 +92,74 @@ def build(res, sim_method="convnet", jacobi_iter=200, fast=True,
     return step, state
 
 
-def time_steps(step, state, n_steps):
-    """Marginal steps/s: time scans of n and 4n steps and difference them."""
-    def make(n):
-        @jax.jit
-        def run(s):
-            return jax.lax.scan(
-                lambda c, _: (step(c), None), s, None, length=n
-            )[0]
-        return run
-
-    run_a, run_b = make(n_steps), make(4 * n_steps)
-
-    s = run_a(state)
-    _ = float(jnp.sum(s.density))  # compile + warm run, forced to host
-    t0 = time.perf_counter()
-    s = run_a(s)  # chained input: cannot be served from cache
-    _ = float(jnp.sum(s.density))
-    t_a = time.perf_counter() - t0
-
-    s = run_b(s)
-    _ = float(jnp.sum(s.density))  # compile + warm
-    t0 = time.perf_counter()
-    s = run_b(s)
-    _ = float(jnp.sum(s.density))
-    t_b = time.perf_counter() - t0
-
-    dt = max(t_b - t_a, 1e-9) / (3 * n_steps)
-    return 1.0 / dt, s
-
-
-def div_stats(state):
+def run_case(name, res, cfg_kw, project=None, rollout=300, stat=100,
+             n_time=None, reps=3):
+    """Roll the case from t=0 collecting quality stats, then time it with
+    ``reps`` marginal measurements. One artifact per case."""
     from fluidnet_cxx_tpu import ops
 
-    div = ops.velocity_divergence(state.U, state.flags)
-    fl = (state.flags == 1) & (state.U_bc_inv_mask[:, 1] > 0.5)
-    mean = float(jnp.sum(jnp.abs(div) * fl) / jnp.sum(fl))
-    mx = float(jnp.max(jnp.abs(div) * fl))
-    return mean, mx
+    step, state0 = build(res, cfg_kw, project)
+    fl = (state0.flags == 1) & (state0.U_bc_inv_mask[:, 1] > 0.5)
+    n_time = n_time or (100 if res >= 512 else 200)
+
+    def chunk_fn(n):
+        @jax.jit
+        def chunk(s):
+            s, _ = jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                                length=n)
+            div = ops.velocity_divergence(s.U, s.flags)
+            mean_div = jnp.sum(jnp.abs(div) * fl) / jnp.sum(fl)
+            max_div = jnp.max(jnp.abs(div) * fl)
+            rho = s.density[0]
+            present = jnp.max(rho, axis=1) > 0.05 * jnp.max(rho)
+            height = jnp.max(
+                jnp.where(present, jnp.arange(rho.shape[0]), 0))
+            return s, mean_div, max_div, height
+        return chunk
+
+    ch = chunk_fn(stat)
+    s = state0
+    means, maxs, height = [], [], 0
+    for _ in range(rollout // stat):
+        s, m, mx, height = ch(s)
+        means.append(float(m))
+        maxs.append(float(mx))
+
+    run_a, run_b = chunk_fn(n_time), chunk_fn(4 * n_time)
+    s1 = run_a(s)[0]
+    jax.block_until_ready(s1)
+    sps_reps = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s1 = run_a(s1)[0]
+        jax.block_until_ready(s1)
+        ta = time.perf_counter() - t0
+        s2 = run_b(s1)[0]
+        jax.block_until_ready(s2)
+        t0 = time.perf_counter()
+        s2 = run_b(s2)[0]
+        jax.block_until_ready(s2)
+        tb = time.perf_counter() - t0
+        sps_reps.append(3 * n_time / max(tb - ta, 1e-9))
+        s1 = s2
+    sps_reps.sort()
+    sps = sps_reps[len(sps_reps) // 2]
+    spread = (sps_reps[-1] - sps_reps[0]) / sps
+
+    rec = {
+        "sps": round(sps, 1),
+        "sps_spread": round(spread, 3),
+        "mean_div": round(float(np.mean(means[1:])), 6),
+        "max_div": round(float(np.max(maxs[1:])), 5),
+        "height": int(height),
+    }
+    log(f"{res}^2 {name:14s} {sps:8.1f} steps/s (spread {spread:.1%})  "
+        f"mean|div| {rec['mean_div']:.5f}  max|div| {rec['max_div']:.4f}  "
+        f"height {rec['height']}")
+    return rec
 
 
 def projection_mfu(model, params, res, n=50):
-    """MFU of the learned projection forward: XLA-counted FLOPs / measured
-    marginal time / v5e bf16 peak."""
     p = jnp.zeros((1, res, res), jnp.float32)
     U = jnp.ones((1, 2, res, res), jnp.float32)
     flags = jnp.ones((1, res, res), jnp.int32)
@@ -160,24 +178,23 @@ def projection_mfu(model, params, res, n=50):
         @jax.jit
         def run(p, U):
             def body(c, _):
-                pp, uu = c
-                pp2, uu2 = fwd(pp, uu)
+                pp2, uu2 = fwd(*c)
                 return (pp2, uu2 * (1.0 - 1e-7)), None
             return jax.lax.scan(body, (p, U), None, length=k)[0]
         return run
 
     ra, rb = make(n), make(4 * n)
     out = ra(p, U)
-    _ = float(jnp.sum(out[0]))
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = ra(*out)
-    _ = float(jnp.sum(out[0]))
+    jax.block_until_ready(out)
     ta = time.perf_counter() - t0
     out2 = rb(*out)
-    _ = float(jnp.sum(out2[0]))
+    jax.block_until_ready(out2)
     t0 = time.perf_counter()
     out2 = rb(*out2)
-    _ = float(jnp.sum(out2[0]))
+    jax.block_until_ready(out2)
     tb = time.perf_counter() - t0
     t_step = max(tb - ta, 1e-9) / (3 * n)
     mfu = flops / t_step / V5E_PEAK_FLOPS if flops else 0.0
@@ -185,87 +202,45 @@ def projection_mfu(model, params, res, n=50):
 
 
 def main():
-    res = int(os.environ.get("BENCH_RES", "512"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
-
+    n_512 = int(os.environ.get("BENCH_STEPS", "300"))
     dev = jax.devices()[0]
-    log(f"device: {dev} | benchmarking plume {res}^2, scan of {n_steps}")
+    log(f"device: {dev}")
 
-    model, params, project, info = load_flagship(res)
-    log(f"flagship projection: {info}")
+    tables = {}
+    infos = {}
+    for res in (512, 128):
+        model, params, project, info = load_flagship(res)
+        infos[res] = info
+        rollout = n_512 if res == 512 else 400
+        t = {}
+        t["cnn"] = run_case("cnn", res, dict(sim_method="convnet"),
+                            project=project, rollout=rollout)
+        for ji in (28, 100, 200):
+            t[f"jacobi{ji}"] = run_case(
+                f"jacobi-{ji}", res, dict(jacobi_iter=ji), rollout=rollout)
+        t["mg2"] = run_case("mg-2v", res,
+                            dict(sim_method="multigrid", mg_vcycles=2),
+                            rollout=rollout)
+        tables[res] = t
 
-    sps, state = time_steps(*build(res, "convnet", project=project), n_steps)
-    mean_div, max_div = div_stats(state)
-    log(f"CNN projection (fused pallas): {sps:.2f} steps/s at {res}^2 | "
-        f"mean|div|={mean_div:.5f} max|div|={max_div:.4f}")
-
-    mfu, flops, t_proj = projection_mfu(model, params, res)
+    model, params, _, _ = load_flagship(512)
+    mfu, flops, t_proj = projection_mfu(model, params, 512)
     log(f"projection forward: {1e3 * t_proj:.3f} ms, {flops / 1e9:.2f} "
         f"GFLOP -> MFU {100 * mfu:.1f}% of v5e bf16 peak")
 
-    extra = {
-        "model": info,
-        "mean_div": round(mean_div, 6),
-        "max_div": round(max_div, 5),
+    cpu_sps = float(os.environ.get("BENCH_CPU_REF_SPS", "0.583"))
+    sps = tables[512]["cnn"]["sps"]
+    out = {
+        "metric": "plume_512_cnn_steps_per_sec",
+        "value": sps,
+        "unit": "steps/s",
+        "vs_baseline": round(sps / (50.0 * cpu_sps), 3),
+        "model": infos[512],
         "proj_ms": round(1e3 * t_proj, 4),
         "proj_mfu": round(mfu, 4),
+        "table_512": tables[512],
+        "table_128": tables[128],
     }
-
-    jac = {}
-    try:
-        from fluidnet_cxx_tpu import ops  # noqa: F401
-
-        for ji in (28, 100, 200):
-            spsj, statej = time_steps(
-                *build(res, "jacobi", jacobi_iter=ji), n_steps
-            )
-            mj, xj = div_stats(statej)
-            jac[f"jacobi{ji}_sps"] = round(spsj, 1)
-            log(
-                f"Jacobi-{ji}: {spsj:.2f} steps/s at {res}^2, "
-                f"mean|div|={mj:.5f} max|div|={xj:.5f}"
-            )
-    except Exception as e:  # diagnostics only
-        log("jacobi diagnostics failed:", e)
-    extra.update(jac)
-
-    try:
-        t128 = {}
-        proj128 = load_flagship(128)[2]
-        s128, _ = time_steps(*build(128, "convnet", project=proj128), 200)
-        t128["cnn_sps"] = round(s128, 1)
-        for ji in (28, 100):
-            sj, _ = time_steps(*build(128, "jacobi", jacobi_iter=ji), 200)
-            t128[f"jacobi{ji}_sps"] = round(sj, 1)
-        log(f"128^2 table: {t128}")
-        extra["table_128"] = t128
-    except Exception as e:
-        log("128^2 table failed:", e)
-
-    # CPU reference: measured once on this host (gather-mode convnet step,
-    # 512^2, jax CPU backend, 1 core) = 0.583 steps/s; the torch reference
-    # itself is CUDA-only at this size. Re-measure with BENCH_MEASURE_CPU=1
-    # or override with BENCH_CPU_REF_SPS.
-    cpu_sps = float(os.environ.get("BENCH_CPU_REF_SPS", "0.583"))
-    if os.environ.get("BENCH_MEASURE_CPU") == "1":
-        try:
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                cpu_sps, _ = time_steps(
-                    *build(res, "convnet", project=project, fast=False), 3
-                )
-            log(f"CPU proxy: {cpu_sps:.3f} steps/s")
-        except Exception as e:
-            log("CPU proxy failed:", e)
-
-    vs = (sps / (50.0 * cpu_sps)) if cpu_sps else None
-    out = {
-        "metric": f"plume_{res}_cnn_steps_per_sec",
-        "value": round(sps, 3),
-        "unit": "steps/s",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-    }
-    out.update(extra)
     print(json.dumps(out))
 
 

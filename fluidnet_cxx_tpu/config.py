@@ -43,6 +43,11 @@ class SimConfig:
     mg_pre: int = 4
     mg_post: int = 4
     mg_coarse_iters: int = 32
+    # Warm-start each step's V-cycles from the previous step's pressure —
+    # the solve then only chases the per-dt increment. False = the
+    # reference's cold-start contract (its Jacobi always starts from 0,
+    # fluids_init.cpp:916).
+    mg_warm_start: bool = True
     # Sampling engine: 'window' (bounded-window shifts, the TPU fast path,
     # exact for CFL <= max_disp) or 'gather' (arbitrary displacement).
     advection_impl: str = "window"

@@ -394,15 +394,19 @@ def advect_scalar3(dt, src, U, flags, maccormack_strength=0.75,
 
 def advect_velocity3(dt, U, flags, maccormack_strength=0.75,
                      method="maccormackFluidNet", impl="gather",
-                     max_disp=2):
-    """Semi-Lagrangian MacCormack self-advection of 3-D MAC velocity:
-    per-component face-velocity resampling + trilinear back-trace sample,
-    correction with fluid-skip masks, corner clamp.
+                     max_disp=2, orig=None):
+    """Semi-Lagrangian MacCormack advection of 3-D MAC velocity ``orig`` by
+    ``U`` (orig=None advects U by itself): per-component face-velocity
+    resampling + trilinear back-trace sample, correction with fluid-skip
+    masks, corner clamp. A separate ``orig`` carries the viscous field like
+    the 2-D step does (simulate.py:66-93).
 
     ``impl='window'`` uses the bounded-window engine (ops/window3.py)."""
     window = impl == "window"
     if window:
         from .window3 import clamp_component_mac_window3, interpol_window3
+    if orig is None:
+        orig = U
     b, _, d, h, w = U.shape
     fluid = flags == FLUID
     border = border_mask3(d, h, w, 1)
@@ -440,7 +444,7 @@ def advect_velocity3(dt, U, flags, maccormack_strength=0.75,
         val = jnp.stack(comps, axis=1)
         return jnp.where(fluid[:, None], val, field)
 
-    fwd = jnp.where(ring, 0.0, sl(U, dt))
+    fwd = jnp.where(ring, 0.0, sl(orig, dt))
     if method == "eulerFluidNet":
         return fwd
     bwd = jnp.where(ring, 0.0, sl(fwd, -dt))
@@ -455,12 +459,12 @@ def advect_velocity3(dt, U, flags, maccormack_strength=0.75,
         skip = (~fluid) | ((idx > 0) & (~fm))
         dst = jnp.where(
             skip, fwd[:, c],
-            fwd[:, c] + maccormack_strength * 0.5 * (U[:, c] - bwd[:, c]),
+            fwd[:, c] + maccormack_strength * 0.5 * (orig[:, c] - bwd[:, c]),
         )
         # corner clamp around pos -/+ dt*vel_mac (8 corners x 2 positions)
         if window:
             out = clamp_component_mac_window3(
-                dst, U[:, c], mac[c] * dt, max_disp
+                dst, orig[:, c], mac[c] * dt, max_disp
             )
             outs.append(jnp.where(border, 0.0, out))
             continue
@@ -476,9 +480,98 @@ def advect_velocity3(dt, U, flags, maccormack_strength=0.75,
             for dk in (0, 1):
                 for dj in (0, 1):
                     for di in (0, 1):
-                        s = _gather3(U[:, c], k0 + dk, j0 + dj, i0 + di)
+                        s = _gather3(orig[:, c], k0 + dk, j0 + dj, i0 + di)
                         minv = jnp.minimum(minv, s)
                         maxv = jnp.maximum(maxv, s)
         out = jnp.maximum(jnp.minimum(dst, maxv), minv)
         outs.append(jnp.where(border, 0.0, out))
+    return jnp.stack(outs, axis=1)
+
+
+def add_viscosity3(dt, U, flags, viscosity):
+    """Explicit viscous diffusion, 7-point Laplacian, interior faces
+    (3-D twin of ops.source_terms.add_viscosity; the reference's 2-D op is
+    pytorch/lib/fluid/viscosity.py:40-70, its 3-D path never worked)."""
+    _, d, h, w = flags.shape
+    fl = flags == FLUID
+
+    def lap(c):
+        acc = -6.0 * c
+        for s in ((0, 0, -1), (0, 0, 1), (0, -1, 0), (0, 1, 0),
+                  (-1, 0, 0), (1, 0, 0)):
+            acc = acc + nb3(c, *s)
+        return acc
+
+    interior = ~border_mask3(d, h, w, 1)
+    outs = []
+    for c, (dz, dy, dx) in enumerate(_AXES):
+        mask = fl & nb3(fl, -dz, -dy, -dx)
+        comp = jnp.where(mask, U[:, c] + dt * viscosity * lap(U[:, c]), 0.0)
+        outs.append(jnp.where(interior, comp, U[:, c]))
+    return jnp.stack(outs, axis=1)
+
+
+def correct_scalar3(dt, src, div, flags):
+    """Variable-density correction, 3-D twin of ops.correct_scalar
+    (Guermond-Salgado; ref: pytorch/lib/fluid/cpp/advection.py:9-12)."""
+    return jnp.where(flags == FLUID, src + dt * 0.5 * src * div, src)
+
+
+def curl3(U):
+    """Cell-centred vorticity vector (central differences of the raw MAC
+    face components — the same convention as grid.curl2d, so a z-invariant
+    planar flow gives omega = (0, 0, curl2d); zero border). Diagnostic +
+    vorticity confinement."""
+    _, _, d, h, w = U.shape
+    cu, cv, cw = U[:, 0], U[:, 1], U[:, 2]
+
+    def ddx(a):
+        return 0.5 * (nb3(a, 0, 0, 1) - nb3(a, 0, 0, -1))
+
+    def ddy(a):
+        return 0.5 * (nb3(a, 0, 1, 0) - nb3(a, 0, -1, 0))
+
+    def ddz(a):
+        return 0.5 * (nb3(a, 1, 0, 0) - nb3(a, -1, 0, 0))
+
+    keep = ~border_mask3(d, h, w, 1)
+    return jnp.stack(
+        [
+            jnp.where(keep, ddy(cw) - ddz(cv), 0.0),
+            jnp.where(keep, ddz(cu) - ddx(cw), 0.0),
+            jnp.where(keep, ddx(cv) - ddy(cu), 0.0),
+        ],
+        axis=1,
+    )
+
+
+def add_vorticity_confinement3(U, flags, strength, dt):
+    """Vorticity confinement, full 3-D form (Fedkiw et al.):
+    f = eps * dx * (N x omega), N = grad|omega| / ||grad|omega|||.
+    The original FluidNet's own 3-D op is
+    solver_cpp/src/fluidnet_implementation/tfluids.cpp:1298; this is the
+    vectorised twin, applied on interior fluid faces like the 2-D version."""
+    _, d, h, w = flags.shape
+    fl = flags == FLUID
+
+    om = curl3(U)
+    mag = jnp.sqrt(jnp.sum(om * om, axis=1))
+    gx = 0.5 * (nb3(mag, 0, 0, 1) - nb3(mag, 0, 0, -1))
+    gy = 0.5 * (nb3(mag, 0, 1, 0) - nb3(mag, 0, -1, 0))
+    gz = 0.5 * (nb3(mag, 1, 0, 0) - nb3(mag, -1, 0, 0))
+    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-12
+    nx_, ny_, nz_ = gx / norm, gy / norm, gz / norm
+    # N x omega at cell centres
+    fx = ny_ * om[:, 2] - nz_ * om[:, 1]
+    fy = nz_ * om[:, 0] - nx_ * om[:, 2]
+    fz = nx_ * om[:, 1] - ny_ * om[:, 0]
+    forces = [fx, fy, fz]
+
+    cont = fl & (~border_mask3(d, h, w, 1))
+    outs = []
+    for c, (dz, dy, dx) in enumerate(_AXES):
+        f_face = 0.5 * (forces[c] + nb3(forces[c], -dz, -dy, -dx))
+        mask = cont & nb3(fl, -dz, -dy, -dx)
+        outs.append(jnp.where(mask, U[:, c] + strength * dt * f_face,
+                              U[:, c]))
     return jnp.stack(outs, axis=1)

@@ -100,14 +100,23 @@ def _clamp_mac_tile(dst, orig, velx_dt, vely_dt, D, row0, h, w):
 
 
 def _advect_vel_kernel(
-    # inputs (HBM, padded by ``halo`` rows top+bottom)
-    u_hbm, v_hbm, flags_hbm,
-    # outputs (blocked VMEM)
-    out_u_ref, out_v_ref,
-    # scratch
-    u_s, v_s, fl_s, sems,
-    *, D, dt, strength, block, halo, h, w,
+    # inputs (HBM, padded by ``halo`` rows top+bottom); with has_orig the
+    # separate advected field (the viscous field, ref simulate.py:66-93)
+    # follows flags as (ou_hbm, ov_hbm)
+    *refs,
+    D, dt, strength, block, halo, h, w, has_orig,
 ):
+    if has_orig:
+        (u_hbm, v_hbm, flags_hbm, ou_hbm, ov_hbm,
+         out_u_ref, out_v_ref,
+         u_s, v_s, fl_s, ou_s, ov_s, sems) = refs
+        ins = [(u_hbm, u_s), (v_hbm, v_s), (flags_hbm, fl_s),
+               (ou_hbm, ou_s), (ov_hbm, ov_s)]
+    else:
+        (u_hbm, v_hbm, flags_hbm,
+         out_u_ref, out_v_ref,
+         u_s, v_s, fl_s, sems) = refs
+        ins = [(u_hbm, u_s), (v_hbm, v_s), (flags_hbm, fl_s)]
     bi = pl.program_id(0)
     rb = pl.program_id(1)
     # In padded coordinates the extended tile starts at rb*block; its first
@@ -115,20 +124,19 @@ def _advect_vel_kernel(
     row0 = rb * block - halo
     ext = block + 2 * halo
 
-    cp_u = pltpu.make_async_copy(
-        u_hbm.at[bi, pl.ds(rb * block, ext), :], u_s, sems.at[0]
-    )
-    cp_v = pltpu.make_async_copy(
-        v_hbm.at[bi, pl.ds(rb * block, ext), :], v_s, sems.at[1]
-    )
-    cp_f = pltpu.make_async_copy(
-        flags_hbm.at[bi, pl.ds(rb * block, ext), :], fl_s, sems.at[2]
-    )
-    cp_u.start(); cp_v.start(); cp_f.start()
-    cp_u.wait(); cp_v.wait(); cp_f.wait()
+    cps = [
+        pltpu.make_async_copy(r.at[bi, pl.ds(rb * block, ext), :], s,
+                              sems.at[k])
+        for k, (r, s) in enumerate(ins)
+    ]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
 
     u = u_s[:]
     v = v_s[:]
+    ou, ov = (ou_s[:], ov_s[:]) if has_orig else (u, v)
     fluidf = jnp.where(fl_s[:] == FLUID, 1.0, 0.0)  # f32 mask: Mosaic
     fluid = fluidf > 0.5                            # dislikes i1 shifts
 
@@ -163,7 +171,7 @@ def _advect_vel_kernel(
             jnp.where(fluid, sv, fv),
         )
 
-    fwd_u, fwd_v = semi_lagrange(u, v, dt)
+    fwd_u, fwd_v = semi_lagrange(ou, ov, dt)
     fwd_u = _border_zero(fwd_u, row0, h, w)
     fwd_v = _border_zero(fwd_v, row0, h, w)
 
@@ -175,11 +183,11 @@ def _advect_vel_kernel(
     fl_ym = _shift(fluidf, -1, 0) > 0.5
     skip_u = (~fluid) | ((xx > 0) & (~fl_xm))
     skip_v = (~fluid) | ((yy > 0) & (~fl_ym))
-    dst_u = jnp.where(skip_u, fwd_u, fwd_u + strength * 0.5 * (u - bwd_u))
-    dst_v = jnp.where(skip_v, fwd_v, fwd_v + strength * 0.5 * (v - bwd_v))
+    dst_u = jnp.where(skip_u, fwd_u, fwd_u + strength * 0.5 * (ou - bwd_u))
+    dst_v = jnp.where(skip_v, fwd_v, fwd_v + strength * 0.5 * (ov - bwd_v))
 
-    out_u = _clamp_mac_tile(dst_u, u, mac_x_u * dt, mac_x_v * dt, D, row0, h, w)
-    out_v = _clamp_mac_tile(dst_v, v, mac_y_u * dt, mac_y_v * dt, D, row0, h, w)
+    out_u = _clamp_mac_tile(dst_u, ou, mac_x_u * dt, mac_x_v * dt, D, row0, h, w)
+    out_v = _clamp_mac_tile(dst_v, ov, mac_y_u * dt, mac_y_v * dt, D, row0, h, w)
     out_u = _border_zero(out_u, row0, h, w)
     out_v = _border_zero(out_v, row0, h, w)
 
@@ -192,56 +200,63 @@ def _advect_vel_kernel(
 def advect_velocity_pallas(
     dt, U, flags, maccormack_strength: float = 0.75,
     max_disp: int = 4, block: int = 64, interpret: bool = False,
+    orig=None,
 ):
-    """Self-advection of MAC velocity ``U`` (== ops.advection.advect_velocity
-    with orig=U, impl='window'). flags (b,h,w) int32, U (b,2,h,w) f32."""
+    """Advection of MAC velocity ``orig`` by ``U`` (== ops.advection.
+    advect_velocity(impl='window'); orig=None self-advects U — the extra
+    field DMAs are skipped then). flags (b,h,w) int32, U (b,2,h,w) f32."""
     b, _, h, w = U.shape
     assert h % block == 0, (h, block)
     halo = -(-(max_disp + 2) // 8) * 8  # 8-row aligned for Mosaic DMA
     ext = block + 2 * halo
     n_rb = h // block
+    has_orig = orig is not None
 
-    pad = ((0, 0), (halo, halo), (0, 0))
-    u_p = jnp.pad(U[:, 0], pad)
-    v_p = jnp.pad(U[:, 1], pad)
-    fl_p = jnp.pad(flags, pad)
+    # Lane (w) padding to the 128 tile: Mosaic requires VMEM slices to be
+    # lane-aligned, so a logical 136-wide array (tiled to 256 lanes) cannot
+    # be DMA'd at width 136. Pad to the tile boundary instead — the kernels
+    # do all border/clip logic with the logical ``w`` and the window weights
+    # are zero outside it, so the pad columns are inert and sliced off.
+    wp = -(-w // 128) * 128
+    pad = ((0, 0), (halo, halo), (0, wp - w))
+    args = [jnp.pad(U[:, 0], pad), jnp.pad(U[:, 1], pad),
+            jnp.pad(flags, pad)]
+    scratch = [
+        pltpu.VMEM((ext, wp), F32),
+        pltpu.VMEM((ext, wp), F32),
+        pltpu.VMEM((ext, wp), I32),
+    ]
+    if has_orig:
+        args += [jnp.pad(orig[:, 0], pad), jnp.pad(orig[:, 1], pad)]
+        scratch += [pltpu.VMEM((ext, wp), F32), pltpu.VMEM((ext, wp), F32)]
 
     kernel = partial(
         _advect_vel_kernel,
         D=max_disp, dt=float(dt), strength=float(maccormack_strength),
-        block=block, halo=halo, h=h, w=w,
+        block=block, halo=halo, h=h, w=w, has_orig=has_orig,
     )
     grid_spec = pl.GridSpec(
         grid=(b, n_rb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(args),
         out_specs=[
-            pl.BlockSpec((1, block, w), lambda bi, rb: (bi, rb, 0)),
-            pl.BlockSpec((1, block, w), lambda bi, rb: (bi, rb, 0)),
+            pl.BlockSpec((1, block, wp), lambda bi, rb: (bi, rb, 0)),
+            pl.BlockSpec((1, block, wp), lambda bi, rb: (bi, rb, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((ext, w), F32),
-            pltpu.VMEM((ext, w), F32),
-            pltpu.VMEM((ext, w), I32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((len(args),))],
     )
     out_u, out_v = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, w), F32),
-            jax.ShapeDtypeStruct((b, h, w), F32),
+            jax.ShapeDtypeStruct((b, h, wp), F32),
+            jax.ShapeDtypeStruct((b, h, wp), F32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(u_p, v_p, fl_p)
-    return jnp.stack([out_u, out_v], axis=1)
+    )(*args)
+    return jnp.stack([out_u, out_v], axis=1)[..., :w]
 
 
 def _interpol_fluid_window_tile(src, fl, pos_x, pos_y, D, row0, h, w):
@@ -430,7 +445,9 @@ def advect_scalar_pallas(
     ext = block + 2 * halo
     n_rb = h // block
 
-    pad = ((0, 0), (halo, halo), (0, 0))
+    # Lane padding to the 128 tile (see advect_velocity_pallas).
+    wp = -(-w // 128) * 128
+    pad = ((0, 0), (halo, halo), (0, wp - w))
     src_p = jnp.pad(src, pad)
     u_p = jnp.pad(U[:, 0], pad)
     v_p = jnp.pad(U[:, 1], pad)
@@ -445,21 +462,33 @@ def advect_scalar_pallas(
     grid_spec = pl.GridSpec(
         grid=(b, n_rb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=pl.BlockSpec((1, block, w), lambda bi, rb: (bi, rb, 0)),
+        out_specs=pl.BlockSpec((1, block, wp), lambda bi, rb: (bi, rb, 0)),
         scratch_shapes=[
-            pltpu.VMEM((ext, w), F32),
-            pltpu.VMEM((ext, w), F32),
-            pltpu.VMEM((ext, w), F32),
-            pltpu.VMEM((ext, w), I32),
+            pltpu.VMEM((ext, wp), F32),
+            pltpu.VMEM((ext, wp), F32),
+            pltpu.VMEM((ext, wp), F32),
+            pltpu.VMEM((ext, wp), I32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), F32),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp), F32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(src_p, u_p, v_p, fl_p)
+    )(src_p, u_p, v_p, fl_p)[..., :w]
+
+
+def pick_block(h: int, prefer: int = 64):
+    """Largest row-block size (multiple of 8, <= ``prefer``) dividing ``h``,
+    or None. The fused kernels only need h % block == 0 — the lane (w)
+    dimension is handled by padding to the 128 tile inside the wrappers —
+    so e.g. the reference's 8000x800 cylinder runs the fast path with
+    block=40. This helper replaces the old hard 128-multiple gate."""
+    for bsize in range(min(prefer, h), 7, -1):
+        if bsize % 8 == 0 and h % bsize == 0:
+            return bsize
+    return None

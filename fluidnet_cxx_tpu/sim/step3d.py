@@ -105,14 +105,24 @@ def simulate_step3(
                 stacklevel=2,
             )
             _WARNED_DISP3 = True
-    # Fused Pallas 3-D advection (8.4x the XLA window path on v5e).
+    # Fused Pallas 3-D advection (8.4x the XLA window path on v5e). The
+    # viscous field needs the (orig, U) two-field advection only the XLA
+    # path provides — same gating as the 2-D step.
     pallas_ok = (
         cfg.use_pallas
         and impl == "window"
         and cfg.advection_method != "eulerFluidNet"
         and not cfg.line_trace
+        and cfg.viscosity == 0
         and d % 8 == 0 and h % 32 == 0 and w % 128 == 0
     )
+
+    # Viscosity: the viscous field is advected by the (non-divergent) U
+    # from the previous step (2-D twin: simulate.py:66-93).
+    if cfg.viscosity > 0:
+        orig = ops3d.add_viscosity3(dt, U, flags, cfg.viscosity)
+    else:
+        orig = None
 
     if cfg.advect_density:
         if pallas_ok:
@@ -132,6 +142,9 @@ def simulate_step3(
                 max_disp=min(cfg.max_disp, 2),
                 line_trace=cfg.line_trace,
             )
+        if cfg.correct_scalar:
+            div0 = ops3d.velocity_divergence3(U, flags)
+            rho = ops3d.correct_scalar3(dt, rho, div0, flags)
     if pallas_ok:
         from ..ops.pallas.advect3_pallas import advect_velocity3_pallas
 
@@ -147,6 +160,7 @@ def simulate_step3(
             method=cfg.advection_method,
             impl=impl,
             max_disp=min(cfg.max_disp, 2),
+            orig=orig,
         )
 
     U, rho = apply_const_vals3(state, U, rho)
@@ -159,6 +173,11 @@ def simulate_step3(
         )
     if cfg.gravity_scale > 0:
         U = ops3d.add_gravity3(U, flags, gvec * (-cfg.gravity_scale), dt)
+
+    if cfg.vorticity_confinement > 0:
+        U = ops3d.add_vorticity_confinement3(
+            U, flags, cfg.vorticity_confinement, dt
+        )
 
     if output_div:
         return state._replace(U=U, density=rho)
@@ -174,7 +193,8 @@ def simulate_step3(
 
         div = ops3d.velocity_divergence3(U, flags)
         p = solve_mg3(flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
-                      post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters)
+                      post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters,
+                      p0=p if cfg.mg_warm_start else None)
         U = ops3d.velocity_update3(p, U, flags)
     else:
         div = ops3d.velocity_divergence3(U, flags)

@@ -66,6 +66,10 @@ def main():
     cases = [
         ("pallas fused advection", dict(advection_impl="window",
                                         use_pallas=True)),
+        ("pallas + multigrid", dict(advection_impl="window",
+                                    use_pallas=True,
+                                    sim_method="multigrid",
+                                    mg_vcycles=2)),
         ("window (XLA)", dict(advection_impl="window")),
         ("gather", dict(advection_impl="gather")),
     ]

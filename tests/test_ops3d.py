@@ -300,3 +300,128 @@ def test_simulate_step3():
     assert np.isfinite(r).all()
     yy = np.arange(24)[None, :, None]
     assert (r * yy).sum() / max(r.sum(), 1e-9) > 4.0  # blob rose
+
+
+def _extrude(a2, d):
+    """(b, h, w) -> (b, d, h, w), constant in z."""
+    return np.broadcast_to(np.asarray(a2)[:, None], (a2.shape[0], d) + a2.shape[1:]).copy()
+
+
+def test_add_viscosity3_slab_matches_2d(rng):
+    """A z-invariant field with w=0 and z-interior flags: viscosity3 on a
+    middle slab == the 2-D add_viscosity (the z-Laplacian term vanishes)."""
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.ops.source_terms import add_viscosity
+    from conftest import random_flags
+
+    b, d, h, w = 1, 8, 16, 24
+    flags2 = random_flags(rng, b, h, w, p_obstacle=0.1)
+    U2 = rng.standard_normal((b, 2, h, w)).astype(np.float32)
+
+    flags3 = _extrude(flags2, d)
+    U3 = np.zeros((b, 3, d, h, w), np.float32)
+    U3[:, 0] = _extrude(U2[:, 0], d)
+    U3[:, 1] = _extrude(U2[:, 1], d)
+
+    out3 = np.asarray(ops3d.add_viscosity3(
+        0.1, jnp.asarray(U3), jnp.asarray(flags3), 0.05))
+    out2 = np.asarray(add_viscosity(0.1, jnp.asarray(U2),
+                                    jnp.asarray(flags2), 0.05))
+    # middle slabs see no z-border effects
+    np.testing.assert_allclose(out3[:, 0, d // 2], out2[:, 0], atol=1e-6)
+    np.testing.assert_allclose(out3[:, 1, d // 2], out2[:, 1], atol=1e-6)
+
+
+def test_correct_scalar3_slab_matches_2d(rng):
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.ops.source_terms import correct_scalar
+    from conftest import random_flags
+
+    b, d, h, w = 1, 4, 12, 16
+    flags2 = random_flags(rng, b, h, w)
+    rho2 = rng.random((b, h, w)).astype(np.float32)
+    div2 = rng.standard_normal((b, h, w)).astype(np.float32)
+    out3 = np.asarray(ops3d.correct_scalar3(
+        0.2, jnp.asarray(_extrude(rho2, d)), jnp.asarray(_extrude(div2, d)),
+        jnp.asarray(_extrude(flags2, d))))
+    out2 = np.asarray(correct_scalar(0.2, jnp.asarray(rho2),
+                                     jnp.asarray(div2), jnp.asarray(flags2)))
+    np.testing.assert_allclose(out3[:, d // 2], out2, atol=1e-6)
+
+
+def test_vorticity_confinement3_slab_matches_2d(rng):
+    """z-invariant planar flow: omega = (0, 0, w_z) and the 3-D confinement
+    force on a middle slab reduces to the 2-D formula."""
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.ops.source_terms import add_vorticity_confinement
+    from fluidnet_cxx_tpu.ops.stencils import empty_domain
+
+    b, d, h, w = 1, 10, 16, 24
+    flags2 = np.asarray(empty_domain(b, h, w))
+    U2 = rng.standard_normal((b, 2, h, w)).astype(np.float32)
+
+    flags3 = _extrude(flags2, d)
+    U3 = np.zeros((b, 3, d, h, w), np.float32)
+    U3[:, 0] = _extrude(U2[:, 0], d)
+    U3[:, 1] = _extrude(U2[:, 1], d)
+
+    out3 = np.asarray(ops3d.add_vorticity_confinement3(
+        jnp.asarray(U3), jnp.asarray(flags3), 0.5, 0.1))
+    out2 = np.asarray(add_vorticity_confinement(
+        jnp.asarray(U2), jnp.asarray(flags2), 0.5, 0.1))
+    mid = d // 2
+    np.testing.assert_allclose(out3[:, 0, mid, 2:-2, 2:-2],
+                               out2[:, 0, 2:-2, 2:-2], atol=1e-5)
+    np.testing.assert_allclose(out3[:, 1, mid, 2:-2, 2:-2],
+                               out2[:, 1, 2:-2, 2:-2], atol=1e-5)
+
+
+def test_advect_velocity3_orig_carries_viscous_field(rng):
+    """advect_velocity3(orig=X) must sample X, not U (the viscous-field
+    contract of the 2-D step)."""
+    import jax.numpy as jnp
+
+    flags = ops3d.empty_domain3(1, 8, 12, 16)
+    U = np.clip(rng.standard_normal((1, 3, 8, 12, 16)), -1, 1).astype(np.float32)
+    orig = np.clip(rng.standard_normal((1, 3, 8, 12, 16)), -1, 1).astype(np.float32)
+    out_self = np.asarray(ops3d.advect_velocity3(0.3, jnp.asarray(U), flags))
+    out_orig = np.asarray(ops3d.advect_velocity3(0.3, jnp.asarray(U), flags,
+                                                 orig=jnp.asarray(orig)))
+    assert not np.allclose(out_self, out_orig)
+    # orig=U must be identical to the default
+    out_eq = np.asarray(ops3d.advect_velocity3(0.3, jnp.asarray(U), flags,
+                                               orig=jnp.asarray(U)))
+    np.testing.assert_allclose(out_self, out_eq)
+
+
+def test_cylinder3_scene_runs():
+    """3-D extruded-cylinder scene: viscosity + stick BCs, bounded flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.sim import plume_config
+    from fluidnet_cxx_tpu.sim.scenes3 import create_cylinder_scene3
+    from fluidnet_cxx_tpu.sim.step3d import simulate_step3
+
+    state, visc = create_cylinder_scene3(d=8, h=24, w=48, center_x=12.0,
+                                         radius=4.5)
+    cfg = plume_config(dt=0.3, jacobi_iter=20, viscosity=visc,
+                       buoyancy_scale=0.0, advect_density=False,
+                       max_disp=2, line_trace=False)
+    step = jax.jit(lambda s: simulate_step3(cfg, s))
+    for _ in range(8):
+        state = step(state)
+    U = np.asarray(state.U)
+    assert np.isfinite(U).all()
+    assert np.abs(U).max() < 10.0
+    # no-slip: tangential velocity at faces adjacent to the stick disc ~ 0
+    fl = np.asarray(state.flags)
+    ob = fl[0] == 2
+    # u faces whose west neighbour is obstacle (and cell is fluid)
+    west_ob = np.zeros_like(ob)
+    west_ob[:, :, 1:] = ob[:, :, :-1]
+    tang = np.abs(U[0, 1][(fl[0] == 1) & west_ob])
+    assert tang.size and tang.max() < 0.6, tang.max()
