@@ -57,7 +57,10 @@ def load_flagship(res):
 
         mcfg = load_model_config(MODEL_DIR)
         if use_pallas and mcfg.polish_sweeps > 0:
-            mcfg = dataclasses.replace(mcfg, polish_impl="pallas")
+            # 'fused' runs the whole projection tail (div + polish +
+            # velocity update + wall BCs) in one Pallas kernel
+            # (ops/pallas/proj_tail_pallas.py, parity 6e-6 vs the chain).
+            mcfg = dataclasses.replace(mcfg, polish_impl="fused")
         model = FluidNet(mcfg)
         template = init_train_state(
             model, jax.random.PRNGKey(0), TrainConfig(), res, res

@@ -157,6 +157,34 @@ class FluidNet(nn.Module):
         # a few smoother sweeps kill the high-frequency divergence tail the
         # CNN leaves behind (multigrid view: CNN = coarse-grid correction,
         # sweeps = smoother). Differentiable; ~1.4 us/sweep at 512^2.
+        #
+        # polish_impl='fused' runs the ENTIRE tail (div + sweeps + velocity
+        # update + wall BCs) in one Pallas kernel on the UN-normalised
+        # fields — valid because sweeps and velocity_update are linear in
+        # (p, rhs) and all masks are scale-free, so the s-normalisation
+        # commutes with the tail (see ops/pallas/proj_tail_pallas.py).
+        if self.cfg.polish_sweeps > 0 and self.cfg.polish_impl == "fused":
+            from ..ops.pallas.proj_tail_pallas import project_tail_pallas
+
+            p_out, U_new = project_tail_pallas(
+                flags, U, p_hat * s3, self.cfg.polish_sweeps,
+                damping=self.cfg.polish_damping,
+            )
+            return p_out, U_new
+        # polish_impl='mg' polishes with ONE fused multigrid V-cycle instead
+        # of Jacobi sweeps (same single-kernel tail, same linearity
+        # argument as 'fused'). Measured caveat: PUNet's residual error is
+        # concentrated at the patch scale (8 cells) — the V-cycle's weakest
+        # band (its 4+4 fine sweeps smooth it less than 32 damped sweeps
+        # do), so 'fused' polishes this model better; 'mg' is kept for
+        # models whose error is broadband.
+        if self.cfg.polish_impl == "mg":
+            from ..ops.pallas.mg_pallas import project_mg_pallas
+
+            p_out, U_new = project_mg_pallas(
+                flags, U, p0=p_hat * s3, n_vcycles=1,
+            )
+            return p_out, U_new
         if self.cfg.polish_sweeps > 0:
             if self.cfg.polish_impl == "pallas":
                 from ..ops.pallas.jacobi_pallas import solve_jacobi_pallas

@@ -215,7 +215,16 @@ def solve_mg(flags, div, n_vcycles: int = 2, pre: int = 4, post: int = 4,
     lvls = _levels(flags, min_size)
     for _ in range(n_vcycles):
         p = _vcycle(lvls, div, p, 0, pre, post, coarse_iters, damping)
-    return p
+    # Gauge fix: the pure-Neumann system is singular; a warm start carries
+    # a null (constant) component that leaks into velocity at fluid|empty
+    # faces and compounds across closed-loop steps. Pin the zero-mean gauge
+    # cold-started Jacobi produces (see ops/pallas/mg_pallas.py).
+    _, h, w = flags.shape
+    cont = (~(border_mask(h, w, 1)[None] | (flags == OBSTACLE))).astype(
+        jnp.float32)
+    return cont * (p - jnp.sum(p * cont, axis=(1, 2), keepdims=True)
+                   / jnp.maximum(jnp.sum(cont, axis=(1, 2), keepdims=True),
+                                 1.0))
 
 
 # ---------------------------------------------------------------- 3-D
@@ -347,4 +356,10 @@ def solve_mg3(flags, div, n_vcycles: int = 2, pre: int = 4, post: int = 4,
     lvls = _levels3(flags, min_size)
     for _ in range(n_vcycles):
         p = _vcycle3(lvls, div, p, 0, pre, post, coarse_iters, damping)
-    return p
+    # Gauge fix — see solve_mg.
+    _, d, h, w = flags.shape
+    cont = (~(ops3d.border_mask3(d, h, w, 1)[None]
+              | (flags == OBSTACLE))).astype(jnp.float32)
+    return cont * (p - jnp.sum(p * cont, axis=(1, 2, 3), keepdims=True)
+                   / jnp.maximum(
+                       jnp.sum(cont, axis=(1, 2, 3), keepdims=True), 1.0))

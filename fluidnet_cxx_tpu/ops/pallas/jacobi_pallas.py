@@ -30,11 +30,15 @@ def _shift(a, dy: int, dx: int):
 
 def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int, p0_ref=None,
                    damping: float = 1.0):
-    h, w = div_ref.shape
-    flags = flags_ref[:]
-    div = div_ref[:]
+    # Direct ``ref[0]`` loads — a ``.at[0]`` ref view is a memref_slice
+    # Mosaic cannot form at non-128-multiple widths (this was the old
+    # 'layout mismatch at non-square shapes'). flags arrive as f32 (cell
+    # types are tiny integers, exact in f32).
+    h, w = div_ref.shape[1:]
+    flags = flags_ref[0]
+    div = div_ref[0]
 
-    obf = jnp.where(flags == OBSTACLE, 1.0, 0.0)  # f32 mask: Mosaic
+    obf = jnp.where(flags == float(OBSTACLE), 1.0, 0.0)  # f32 mask: Mosaic
     ob = obf > 0.5                                # dislikes i1 shifts
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -57,8 +61,8 @@ def _jacobi_kernel(flags_ref, div_ref, p_ref, iters: int, p0_ref=None,
         return jnp.where(cont, upd, 0.0)
 
     init = (jnp.zeros((h, w), jnp.float32) if p0_ref is None
-            else p0_ref[:])
-    p_ref[:] = jax.lax.fori_loop(0, iters, sweep, init)
+            else p0_ref[0])
+    p_ref[0] = jax.lax.fori_loop(0, iters, sweep, init)
 
 
 def solve_jacobi_pallas(flags, div, iters: int, p0=None,
@@ -80,13 +84,12 @@ def solve_jacobi_pallas(flags, div, iters: int, p0=None,
 
     if p0 is None:
         def kernel3(flags_ref, div_ref, p_ref):
-            kernel(flags_ref.at[0], div_ref.at[0], p_ref.at[0])
-        args = (flags, div)
+            kernel(flags_ref, div_ref, p_ref)
+        args = (flags.astype(jnp.float32), div)
     else:
         def kernel3(flags_ref, div_ref, p0_ref, p_ref):
-            kernel(flags_ref.at[0], div_ref.at[0], p_ref.at[0],
-                   p0_ref=p0_ref.at[0])
-        args = (flags, div, p0)
+            kernel(flags_ref, div_ref, p_ref, p0_ref=p0_ref)
+        args = (flags.astype(jnp.float32), div, p0)
 
     return pl.pallas_call(
         kernel3,

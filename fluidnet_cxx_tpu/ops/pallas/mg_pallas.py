@@ -176,6 +176,14 @@ def _mg_kernel(*refs, n_lvls, n_vcycles, pre, post, coarse, damping):
     for _ in range(n_vcycles):
         p = _vcycle_k(p, rhs, 0, conts, cnts, mats, pre, post, coarse,
                       damping)
+    # Gauge fix: the pure-Neumann system is singular (constants are null
+    # vectors), and a warm start carries/accumulates a null component that
+    # cold-started Jacobi never develops — it leaks into velocity at
+    # fluid|empty faces and compounds across closed-loop steps (measured
+    # blow-up at 1 V-cycle/step warm). Pin the same zero-mean gauge the
+    # cold-started solvers produce.
+    cont0 = conts[0]
+    p = cont0 * (p - jnp.sum(p * cont0) / jnp.maximum(jnp.sum(cont0), 1.0))
     out_ref[0] = p
 
 
@@ -251,3 +259,152 @@ def mg_vmem_fits(h: int, w: int,
                  budget_bytes: int = 80 * 1024 * 1024) -> bool:
     """~6 live f32 fields on the fine level + 1/3 for coarser levels."""
     return int(8 * h * w * 4 * 4 / 3) <= budget_bytes
+
+
+# ------------------------------------------------- fused MG projection
+
+def _mg_proj_kernel(*refs, n_lvls, n_vcycles, pre, post, coarse, damping):
+    """V-cycle solve PLUS the projection tail (divergence RHS in, velocity
+    update + free-slip wall BCs out) — the whole pressure projection in one
+    VMEM-resident program. refs: [cont_0..], [cnt_0..], flags, u, v, p0,
+    [Ry,Rx,Py,Px per lvl], p_out, u_out, v_out."""
+    from ...celltype import EMPTY, FLUID
+
+    conts = [refs[i][0] for i in range(n_lvls)]
+    cnts = [refs[n_lvls + i][0] for i in range(n_lvls)]
+    flags = refs[2 * n_lvls][0]  # f32 (see proj_tail_pallas: i32 blocks
+    u = refs[2 * n_lvls + 1][0]  # have lane-tiling Mosaic can't slice
+    v = refs[2 * n_lvls + 2][0]  # unaligned)
+    p = refs[2 * n_lvls + 3][0]
+    mats = []
+    base = 2 * n_lvls + 4
+    for i in range(n_lvls - 1):
+        mats.append(tuple(refs[base + 4 * i + j][:] for j in range(4)))
+    p_out_ref, u_out_ref, v_out_ref = refs[base + 4 * (n_lvls - 1):]
+
+    h, w = u.shape
+    flf = jnp.where(flags == float(FLUID), 1.0, 0.0)
+    obf = jnp.where(flags == float(OBSTACLE), 1.0, 0.0)
+    emf = jnp.where(flags == float(EMPTY), 1.0, 0.0)
+    fl, ob, em = flf > 0.5, obf > 0.5, emf > 0.5
+    yy, xx = _iotas(h, w)
+    border = (xx < 1) | (xx > w - 2) | (yy < 1) | (yy > h - 2)
+    interior = ~border
+
+    # RHS (minus divergence, Manta makeRhs; == ops.stencils.velocity_divergence)
+    rhs = (u - _shift(u, 0, 1)) + (v - _shift(v, 1, 0))
+    rhs = jnp.where(interior & (~ob), rhs, 0.0)
+
+    for _ in range(n_vcycles):
+        p = _vcycle_k(p, rhs, 0, conts, cnts, mats, pre, post, coarse,
+                      damping)
+    # Gauge fix (see _mg_kernel): zero-mean over continuation cells.
+    cont0 = conts[0]
+    p = cont0 * (p - jnp.sum(p * cont0) / jnp.maximum(jnp.sum(cont0), 1.0))
+
+    # velocity update (Bridson BCs, ops.stencils.velocity_update)
+    fl_xm = _shift(flf, 0, -1) > 0.5
+    em_xm = _shift(emf, 0, -1) > 0.5
+    fl_ym = _shift(flf, -1, 0) > 0.5
+    em_ym = _shift(emf, -1, 0) > 0.5
+    p_xm = _shift(p, 0, -1)
+    p_ym = _shift(p, -1, 0)
+    u_new = jnp.where(
+        fl & fl_xm, u - (p - p_xm),
+        jnp.where(fl & em_xm, u - p, jnp.where(em & fl_xm, u + p_xm, 0.0)),
+    )
+    v_new = jnp.where(
+        fl & fl_ym, v - (p - p_ym),
+        jnp.where(fl & em_ym, v - p, jnp.where(em & fl_ym, v + p_ym, 0.0)),
+    )
+    u_new = jnp.where(interior, u_new, u)
+    v_new = jnp.where(interior, v_new, v)
+
+    # free-slip wall BCs (index clamped at 0, ops.stencils.set_wall_bcs)
+    def clampm(a, axis):
+        # circular shift + first-row/col fix-up: 1-wide slices force
+        # Mosaic layouts that cannot be sliced at non-128-multiple widths
+        if axis == 1:
+            return jnp.where(xx == 0, a, _shift(a, 0, -1))
+        return jnp.where(yy == 0, a, _shift(a, -1, 0))
+
+    contw = fl | ob
+    kill_u = contw & ((clampm(obf, 1) > 0.5) | (ob & (clampm(flf, 1) > 0.5)))
+    kill_v = contw & ((clampm(obf, 0) > 0.5) | (ob & (clampm(flf, 0) > 0.5)))
+
+    p_out_ref[0] = p
+    u_out_ref[0] = jnp.where(kill_u, 0.0, u_new)
+    v_out_ref[0] = jnp.where(kill_v, 0.0, v_new)
+
+
+def project_mg_pallas(flags, U, p0=None, n_vcycles: int = 1, pre: int = 4,
+                      post: int = 4, coarse_iters: int = 32,
+                      damping: float = 2.0 / 3.0, min_size: int = 8,
+                      interpret: bool = False):
+    """The ENTIRE pressure projection in one pallas_call: divergence RHS,
+    ``n_vcycles`` V-cycles warm-started from ``p0`` (e.g. the CNN head
+    output — the learned solve replaces all but the last V-cycle), the
+    pressure-gradient velocity update and free-slip wall BCs.
+    == the chain velocity_divergence -> solve_mg(p0) -> velocity_update ->
+    set_wall_bcs (tests/test_pallas.py)."""
+    b, h, w = flags.shape
+    lvl_flags = mgx._levels(flags, min_size)
+    n_lvls = len(lvl_flags)
+
+    conts, cnts = [], []
+    for lf in lvl_flags:
+        _, lh, lw = lf.shape
+        ob = lf == OBSTACLE
+        conts.append(((~(border_mask(lh, lw, 1)[None] | ob)).astype(F32)))
+        cnts.append(sum(nb(ob, dy, dx).astype(F32)
+                        for dy, dx in ((0, -1), (0, 1), (-1, 0), (1, 0))))
+
+    if p0 is None:
+        p0 = jnp.zeros((b, h, w), F32)
+    else:
+        p0 = jnp.where(lvl_flags[0] == OBSTACLE, 0.0, p0)
+
+    mats = []
+    for lf in lvl_flags[:-1]:
+        _, lh, lw = lf.shape
+        mats.extend([
+            jnp.asarray(_restrict_matrix(lh)),
+            jnp.asarray(_restrict_matrix(lw)),
+            jnp.asarray(_prolong_matrix(lh)),
+            jnp.asarray(_prolong_matrix(lw)),
+        ])
+
+    args = conts + cnts + [flags.astype(F32), U[:, 0], U[:, 1], p0] + mats
+
+    def bspec(a):
+        if a.ndim == 3:
+            return pl.BlockSpec((1,) + a.shape[1:], lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = partial(
+        _mg_proj_kernel, n_lvls=n_lvls, n_vcycles=n_vcycles, pre=pre,
+        post=post, coarse=coarse_iters, damping=float(damping),
+    )
+    p, u_o, v_o = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), F32)] * 3,
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[bspec(a) for a in args],
+            out_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)] * 3,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_vcycles * (pre + post + 8) * 1.4 * 10 * b * h * w
+                      + 40 * b * h * w),
+            bytes_accessed=int(8 * b * h * w * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return p, jnp.stack([u_o, v_o], axis=1)

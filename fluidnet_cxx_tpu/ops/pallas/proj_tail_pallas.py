@@ -1,0 +1,163 @@
+"""Fused learned-projection tail (Pallas TPU kernel).
+
+After the PUNet head produces a coarse pressure, the projection finishes
+with: divergence (RHS), warm-started damped-Jacobi polish sweeps, the
+pressure-gradient velocity update, and the free-slip wall BCs
+(models/fluidnet.py:150-176; reference chain pytorch/lib/model.py:213-227).
+As separate XLA ops each of those is an HBM round-trip (~5-10 us at 512^2)
+plus dispatch — together they cost more than the polish itself. This kernel
+runs the entire tail in ONE pallas_call with every field VMEM-resident.
+
+Linearity note: the wrapper's normalisation (rhs = div/s, polish on the
+normalised p_hat, un-scale at the end — model.py:221-223) commutes with the
+whole tail because sweeps and velocity_update are linear in (p, rhs) and
+every mask is scale-free, so the kernel works on UNNORMALISED fields with
+``p0 = p_hat * s`` and produces the final (p_out, U_out) directly.
+Verified against the unfused chain in tests/test_pallas.py.
+
+Semantics matched (all reference-cited in ops/stencils.py):
+* divergence: ops.stencils.velocity_divergence (Manta makeRhs sign).
+* sweeps: ops.jacobi.solve_jacobi_fixed warm start + damping
+  (obstacle-Neumann substitution, border/obstacle pinned to 0).
+* update: ops.stencils.velocity_update (Bridson p.44 fluid/empty BCs,
+  border faces untouched).
+* wall BCs: ops.stencils.set_wall_bcs (index clamped at 0).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...celltype import EMPTY, FLUID, OBSTACLE
+from .jacobi_pallas import _shift
+
+F32 = jnp.float32
+
+
+def _clamp_shift_m(a, axis, yy, xx):
+    """Left/down neighbour with the index CLAMPED at 0 (set_wall_bcs
+    semantics: i_l = max(i-1, 0)). Implemented as circular shift + first
+    row/col fix-up — 1-wide lane/sublane slices force Mosaic layouts that
+    cannot be sliced at non-128-multiple widths."""
+    if axis == 1:  # x-1
+        return jnp.where(xx == 0, a, _shift(a, 0, -1))
+    return jnp.where(yy == 0, a, _shift(a, -1, 0))
+
+
+def _tail_kernel(flags_ref, u_ref, v_ref, p0_ref,
+                 p_out_ref, u_out_ref, v_out_ref,
+                 *, iters, damping):
+    # Loads are direct ``ref[0]`` (b-major block) — a ``.at[0]`` ref view
+    # is a memref_slice Mosaic cannot form at non-128-multiple widths
+    # (lane-padded buffer, unaligned slice). flags arrive as f32: cell-type
+    # values are tiny integers, exact in f32.
+    h, w = flags_ref.shape[1:]
+    flags = flags_ref[0]
+    u = u_ref[0]
+    v = v_ref[0]
+
+    flf = jnp.where(flags == float(FLUID), 1.0, 0.0)   # f32 masks: Mosaic
+    obf = jnp.where(flags == float(OBSTACLE), 1.0, 0.0)  # dislikes i1
+    emf = jnp.where(flags == float(EMPTY), 1.0, 0.0)
+    fl = flf > 0.5
+    ob = obf > 0.5
+    em = emf > 0.5
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (xx < 1) | (xx > w - 2) | (yy < 1) | (yy > h - 2)
+    interior = ~border
+
+    # 1. RHS (minus divergence, Manta makeRhs).
+    rhs = (u - _shift(u, 0, 1)) + (v - _shift(v, 1, 0))
+    rhs = jnp.where(interior & (~ob), rhs, 0.0)
+
+    # 2. Warm-started damped-Jacobi polish (== jacobi_pallas sweeps).
+    cont = interior & (~ob)
+    ob_xm = _shift(obf, 0, -1) > 0.5
+    ob_xp = _shift(obf, 0, 1) > 0.5
+    ob_ym = _shift(obf, -1, 0) > 0.5
+    ob_yp = _shift(obf, 1, 0) > 0.5
+
+    def sweep(_, p):
+        p1 = jnp.where(ob_xm, p, _shift(p, 0, -1))
+        p2 = jnp.where(ob_xp, p, _shift(p, 0, 1))
+        p3 = jnp.where(ob_ym, p, _shift(p, -1, 0))
+        p4 = jnp.where(ob_yp, p, _shift(p, 1, 0))
+        upd = (p1 + p2 + p3 + p4 + rhs) * 0.25
+        if damping != 1.0:
+            upd = (1.0 - damping) * p + damping * upd
+        return jnp.where(cont, upd, 0.0)
+
+    p = jax.lax.fori_loop(0, iters, sweep, p0_ref[0])
+
+    # 3. Velocity update (Bridson BCs; border faces untouched). The wrapped
+    # neighbour at x=0/y=0 only feeds border faces, which are overwritten.
+    fl_xm = _shift(flf, 0, -1) > 0.5
+    em_xm = _shift(emf, 0, -1) > 0.5
+    fl_ym = _shift(flf, -1, 0) > 0.5
+    em_ym = _shift(emf, -1, 0) > 0.5
+    p_xm = _shift(p, 0, -1)
+    p_ym = _shift(p, -1, 0)
+    u_new = jnp.where(
+        fl & fl_xm, u - (p - p_xm),
+        jnp.where(fl & em_xm, u - p, jnp.where(em & fl_xm, u + p_xm, 0.0)),
+    )
+    v_new = jnp.where(
+        fl & fl_ym, v - (p - p_ym),
+        jnp.where(fl & em_ym, v - p, jnp.where(em & fl_ym, v + p_ym, 0.0)),
+    )
+    u_new = jnp.where(interior, u_new, u)
+    v_new = jnp.where(interior, v_new, v)
+
+    # 4. Free-slip wall BCs (index clamped at 0).
+    contw = fl | ob
+    ob_xm_c = _clamp_shift_m(obf, 1, yy, xx) > 0.5
+    fl_xm_c = _clamp_shift_m(flf, 1, yy, xx) > 0.5
+    ob_ym_c = _clamp_shift_m(obf, 0, yy, xx) > 0.5
+    fl_ym_c = _clamp_shift_m(flf, 0, yy, xx) > 0.5
+    kill_u = contw & (ob_xm_c | (ob & fl_xm_c))
+    kill_v = contw & (ob_ym_c | (ob & fl_ym_c))
+
+    p_out_ref[0] = p
+    u_out_ref[0] = jnp.where(kill_u, 0.0, u_new)
+    v_out_ref[0] = jnp.where(kill_v, 0.0, v_new)
+
+
+def project_tail_pallas(flags, U, p0, iters: int,
+                        damping: float = 2.0 / 3.0, interpret: bool = False):
+    """Fused projection tail. flags (b,h,w) i32, U (b,2,h,w) f32 divergent,
+    ``p0`` (b,h,w) f32 warm-start pressure (CNN head output, un-normalised).
+    Returns (p, U') == the unfused chain:
+      div = velocity_divergence(U, flags)
+      p   = solve_jacobi_fixed(flags, div, iters, p0=p0, damping=damping)
+      U'  = set_wall_bcs(velocity_update(p, U, flags), flags)
+    """
+    b, h, w = p0.shape
+    kernel = partial(_tail_kernel, iters=iters, damping=float(damping))
+
+    def block():
+        return pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    p, u_o, v_o = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), F32)] * 3,
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[block() for _ in range(4)],
+            out_specs=[block() for _ in range(3)],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(10 * iters + 30) * b * h * w,
+            bytes_accessed=7 * b * h * w * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(flags.astype(F32), U[:, 0], U[:, 1], p0)
+    return p, jnp.stack([u_o, v_o], axis=1)

@@ -188,30 +188,47 @@ def simulate_step(
         assert project_fn is not None, "convnet projection needs project_fn"
         p, U = project_fn(p, U, flags, rho)
     elif cfg.sim_method == "multigrid":
-        div = velocity_divergence(U, flags)
         # Closed loop warm-starts from the previous step's pressure (the
         # field changes little per dt, so the V-cycle spends its budget on
         # the new increment, not re-deriving the bulk solution). p0=0
         # matches the reference's cold-start Jacobi contract if desired
-        # via mg_warm_start=False.
-        p0 = p if cfg.mg_warm_start else None
+        # via mg_warm_start=False. A SINGLE warm V-cycle per step is
+        # dynamically unstable (the cycle's mid-band leftovers feed back
+        # through the pressure history and compound; measured blow-up at
+        # 512^2) — force cold start there; cold 1-V is stable and good.
+        p0 = p if (cfg.mg_warm_start and cfg.mg_vcycles >= 2) else None
         from ..ops.pallas.mg_pallas import mg_vmem_fits
 
-        if cfg.use_pallas and mg_vmem_fits(h, w):
-            from ..ops.pallas.mg_pallas import solve_mg_pallas
+        periodic = cfg.periodic_x or cfg.periodic_y
+        if cfg.use_pallas and mg_vmem_fits(h, w) and not periodic:
+            # Fully-fused projection: RHS + V-cycles + velocity update +
+            # wall BCs in one kernel (the step's _wall_bcs below is then
+            # idempotent on the already-BC'd field).
+            from ..ops.pallas.mg_pallas import project_mg_pallas
 
-            p = solve_mg_pallas(
-                flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
-                post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters, p0=p0,
+            p, U = project_mg_pallas(
+                flags, U, p0=p0, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
+                post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters,
             )
         else:
-            from ..ops.multigrid import solve_mg
+            div = velocity_divergence(U, flags)
+            if cfg.use_pallas and mg_vmem_fits(h, w):
+                from ..ops.pallas.mg_pallas import solve_mg_pallas
 
-            p = solve_mg(
-                flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
-                post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters, p0=p0,
-            )
-        U = velocity_update(p, U, flags)
+                p = solve_mg_pallas(
+                    flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
+                    post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters,
+                    p0=p0,
+                )
+            else:
+                from ..ops.multigrid import solve_mg
+
+                p = solve_mg(
+                    flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
+                    post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters,
+                    p0=p0,
+                )
+            U = velocity_update(p, U, flags)
     else:
         div = velocity_divergence(U, flags)
         if cfg.p_tol > 0:

@@ -67,9 +67,10 @@ def main():
             load_train_checkpoint,
         )
 
-        # XLA polish: the Pallas sweep kernel hits a Mosaic layout
-        # mismatch when fused into the conv graph at non-square shapes,
-        # and at cylinder throughputs the XLA sweeps (~0.2 ms) are noise.
+        # (The old Mosaic 'layout mismatch at non-square shapes' is fixed —
+        # it was an .at[0] memref_slice at non-128-multiple widths; the
+        # sweep kernels now compile at any shape. The checkpoint's own
+        # polish_impl is honoured.)
         mcfg = load_model_config(args.modelDir)
         model = FluidNet(mcfg)
         template = init_train_state(

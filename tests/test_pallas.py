@@ -329,3 +329,87 @@ def test_advect_velocity_pallas_orig(rng):
         0.3, orig, U, flags, maccormack_strength=0.6, impl="window",
         max_disp=4))
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_project_tail_pallas_matches_chain(rng):
+    """Fused projection tail == div -> warm damped Jacobi -> velocity_update
+    -> set_wall_bcs chain (incl. obstacles and empty cells), and the
+    linearity argument: the kernel on un-normalised fields reproduces the
+    wrapper's normalise/un-normalise sandwich."""
+    from fluidnet_cxx_tpu.ops.jacobi import solve_jacobi_fixed
+    from fluidnet_cxx_tpu.ops.pallas.proj_tail_pallas import (
+        project_tail_pallas,
+    )
+    from fluidnet_cxx_tpu.ops.stencils import (
+        set_wall_bcs,
+        velocity_divergence,
+        velocity_update,
+    )
+
+    h, w = 32, 48
+    flags = np.asarray(random_flags(rng, 2, h, w, p_obstacle=0.1))
+    # sprinkle EMPTY cells (type 4) in the interior
+    emp = rng.random((2, h, w)) < 0.05
+    emp[:, :2] = emp[:, -2:] = emp[:, :, :2] = emp[:, :, -2:] = False
+    flags = np.where(emp & (flags == 1), 4, flags).astype(np.int32)
+    U = rng.standard_normal((2, 2, h, w)).astype(np.float32)
+    p0 = rng.standard_normal((2, h, w)).astype(np.float32)
+    p0[flags != 1] = 0.0
+
+    div = velocity_divergence(U, flags)
+    p_want = solve_jacobi_fixed(flags, div, 12, p0=p0, damping=2.0 / 3.0)
+    U_want = set_wall_bcs(velocity_update(p_want, U, flags), flags)
+
+    p_got, U_got = project_tail_pallas(flags, U, p0, 12, interpret=True)
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
+                               atol=2e-5)
+
+    # linearity: wrapper sandwich (normalise by s) == kernel un-normalised
+    s = 3.7
+    p_n = solve_jacobi_fixed(flags, div / s, 12, p0=p0 / s,
+                             damping=2.0 / 3.0)
+    U_n = velocity_update(p_n, U / s, flags)
+    np.testing.assert_allclose(
+        np.asarray(set_wall_bcs(U_n * s, flags)), np.asarray(U_got),
+        atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_n) * s, np.asarray(p_got),
+                               atol=2e-5)
+
+
+def test_project_mg_pallas_matches_chain(rng, monkeypatch):
+    """Fused MG projection (RHS + warm V-cycle + velocity update + wall
+    BCs in one kernel) == the XLA chain."""
+    from jax.experimental import pallas as pl
+
+    from fluidnet_cxx_tpu.ops import multigrid as mgx
+    from fluidnet_cxx_tpu.ops.pallas import mg_pallas as mp
+    from fluidnet_cxx_tpu.ops.stencils import (
+        set_wall_bcs,
+        velocity_divergence,
+        velocity_update,
+    )
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    flags = random_flags(rng, 1, 32, 32, p_obstacle=0.08)
+    U = rng.standard_normal((1, 2, 32, 32)).astype(np.float32)
+    p0 = rng.standard_normal((1, 32, 32)).astype(np.float32)
+    p0[np.asarray(flags) != 1] = 0.0
+
+    div = velocity_divergence(U, flags)
+    p_want = mgx.solve_mg(flags, div, n_vcycles=1, p0=p0)
+    U_want = set_wall_bcs(velocity_update(p_want, U, flags), flags)
+
+    p_got, U_got = mp.project_mg_pallas(flags, U, p0=p0, n_vcycles=1)
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
+                               atol=5e-5)
