@@ -24,23 +24,23 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
-def _border_zero(a, row0, h, w, bnd=1):
-    """Zero the global 1-ring border inside an extended tile whose first row
-    is global row ``row0`` (traced)."""
+def _border_zero(a, row0, col0, h, w, bnd=1):
+    """Zero the global 1-ring border inside an extended tile whose first
+    row/col is global (row0, col0) (traced)."""
     th, tw = a.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
-    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
     keep = (xx >= bnd) & (xx <= w - 1 - bnd) & (yy >= bnd) & (yy <= h - 1 - bnd)
     return jnp.where(keep, a, 0.0)
 
 
-def _interpol_window_tile(src, pos_x, pos_y, D, row0, h, w):
+def _interpol_window_tile(src, pos_x, pos_y, D, row0, col0, h, w):
     """Bilinear window sample on an extended tile. ``src`` and positions are
-    (th, tw); positions are ABSOLUTE grid coordinates; the tile's first row is
-    global row ``row0``. Matches ops.window.interpol_window."""
+    (th, tw); positions are ABSOLUTE grid coordinates; the tile's first
+    row/col is global (row0, col0). Matches ops.window.interpol_window."""
     th, tw = src.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
-    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
 
     cx = xx.astype(F32) + 0.5
     cy = yy.astype(F32) + 0.5
@@ -67,12 +67,12 @@ def _interpol_window_tile(src, pos_x, pos_y, D, row0, h, w):
     return out
 
 
-def _clamp_mac_tile(dst, orig, velx_dt, vely_dt, D, row0, h, w):
+def _clamp_mac_tile(dst, orig, velx_dt, vely_dt, D, row0, col0, h, w):
     """Selle clamp on an extended tile (matches
     ops.window.clamp_component_mac_window)."""
     th, tw = orig.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
-    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
     vx = jnp.clip(velx_dt, -D, D)
     vy = jnp.clip(vely_dt, -D, D)
 
@@ -104,7 +104,7 @@ def _advect_vel_kernel(
     # separate advected field (the viscous field, ref simulate.py:66-93)
     # follows flags as (ou_hbm, ov_hbm)
     *refs,
-    D, dt, strength, block, halo, h, w, has_orig,
+    D, dt, strength, block, halo, cw, halo_c, h, w, has_orig,
 ):
     if has_orig:
         (u_hbm, v_hbm, flags_hbm, ou_hbm, ov_hbm,
@@ -119,14 +119,19 @@ def _advect_vel_kernel(
         ins = [(u_hbm, u_s), (v_hbm, v_s), (flags_hbm, fl_s)]
     bi = pl.program_id(0)
     rb = pl.program_id(1)
-    # In padded coordinates the extended tile starts at rb*block; its first
-    # row corresponds to global row rb*block - halo.
+    cb = pl.program_id(2)
+    # In padded coordinates the extended tile starts at (rb*block, cb*cw);
+    # its first row/col corresponds to global (rb*block - halo,
+    # cb*cw - halo_c).
     row0 = rb * block - halo
+    col0 = cb * cw - halo_c
     ext = block + 2 * halo
+    ext_c = cw + 2 * halo_c
 
     cps = [
-        pltpu.make_async_copy(r.at[bi, pl.ds(rb * block, ext), :], s,
-                              sems.at[k])
+        pltpu.make_async_copy(
+            r.at[bi, pl.ds(rb * block, ext), pl.ds(cb * cw, ext_c)], s,
+            sems.at[k])
         for k, (r, s) in enumerate(ins)
     ]
     for c in cps:
@@ -142,29 +147,29 @@ def _advect_vel_kernel(
 
     # Face-centred full velocity vectors (grid.get_at_mac_x/y) with the
     # global 1-ring border zeroed.
-    mac_x_u = _border_zero(u, row0, h, w)
+    mac_x_u = _border_zero(u, row0, col0, h, w)
     mac_x_v = _border_zero(
         0.25 * (v + _shift(v, 0, -1) + _shift(v, 1, 0) + _shift(v, 1, -1)),
-        row0, h, w,
+        row0, col0, h, w,
     )
     mac_y_u = _border_zero(
         0.25 * (u + _shift(u, -1, 0) + _shift(u, 0, 1) + _shift(u, -1, 1)),
-        row0, h, w,
+        row0, col0, h, w,
     )
-    mac_y_v = _border_zero(v, row0, h, w)
+    mac_y_v = _border_zero(v, row0, col0, h, w)
 
     th, tw = u.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
-    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
     cx = xx.astype(F32) + 0.5
     cy = yy.astype(F32) + 0.5
 
     def semi_lagrange(fu, fv, sdt):
         su = _interpol_window_tile(
-            fu, cx - sdt * mac_x_u, cy - sdt * mac_x_v, D, row0, h, w
+            fu, cx - sdt * mac_x_u, cy - sdt * mac_x_v, D, row0, col0, h, w
         )
         sv = _interpol_window_tile(
-            fv, cx - sdt * mac_y_u, cy - sdt * mac_y_v, D, row0, h, w
+            fv, cx - sdt * mac_y_u, cy - sdt * mac_y_v, D, row0, col0, h, w
         )
         return (
             jnp.where(fluid, su, fu),
@@ -172,12 +177,12 @@ def _advect_vel_kernel(
         )
 
     fwd_u, fwd_v = semi_lagrange(ou, ov, dt)
-    fwd_u = _border_zero(fwd_u, row0, h, w)
-    fwd_v = _border_zero(fwd_v, row0, h, w)
+    fwd_u = _border_zero(fwd_u, row0, col0, h, w)
+    fwd_v = _border_zero(fwd_v, row0, col0, h, w)
 
     bwd_u, bwd_v = semi_lagrange(fwd_u, fwd_v, -dt)
-    bwd_u = _border_zero(bwd_u, row0, h, w)
-    bwd_v = _border_zero(bwd_v, row0, h, w)
+    bwd_u = _border_zero(bwd_u, row0, col0, h, w)
+    bwd_v = _border_zero(bwd_v, row0, col0, h, w)
 
     fl_xm = _shift(fluidf, 0, -1) > 0.5
     fl_ym = _shift(fluidf, -1, 0) > 0.5
@@ -186,15 +191,17 @@ def _advect_vel_kernel(
     dst_u = jnp.where(skip_u, fwd_u, fwd_u + strength * 0.5 * (ou - bwd_u))
     dst_v = jnp.where(skip_v, fwd_v, fwd_v + strength * 0.5 * (ov - bwd_v))
 
-    out_u = _clamp_mac_tile(dst_u, ou, mac_x_u * dt, mac_x_v * dt, D, row0, h, w)
-    out_v = _clamp_mac_tile(dst_v, ov, mac_y_u * dt, mac_y_v * dt, D, row0, h, w)
-    out_u = _border_zero(out_u, row0, h, w)
-    out_v = _border_zero(out_v, row0, h, w)
+    out_u = _clamp_mac_tile(dst_u, ou, mac_x_u * dt, mac_x_v * dt, D,
+                            row0, col0, h, w)
+    out_v = _clamp_mac_tile(dst_v, ov, mac_y_u * dt, mac_y_v * dt, D,
+                            row0, col0, h, w)
+    out_u = _border_zero(out_u, row0, col0, h, w)
+    out_v = _border_zero(out_v, row0, col0, h, w)
 
-    # This program owns global rows [rb*block, rb*block + block), which sit
-    # at the static offset ``halo`` inside the extended tile.
-    out_u_ref[0] = out_u[halo:halo + block, :]
-    out_v_ref[0] = out_v[halo:halo + block, :]
+    # This program owns global rows [rb*block, +block) x cols [cb*cw, +cw),
+    # at static offsets (halo, halo_c) inside the extended tile.
+    out_u_ref[0] = out_u[halo:halo + block, halo_c:halo_c + cw]
+    out_v_ref[0] = out_v[halo:halo + block, halo_c:halo_c + cw]
 
 
 def advect_velocity_pallas(
@@ -212,35 +219,40 @@ def advect_velocity_pallas(
     n_rb = h // block
     has_orig = orig is not None
 
-    # Lane (w) padding to the 128 tile: Mosaic requires VMEM slices to be
-    # lane-aligned, so a logical 136-wide array (tiled to 256 lanes) cannot
-    # be DMA'd at width 136. Pad to the tile boundary instead — the kernels
-    # do all border/clip logic with the logical ``w`` and the window weights
-    # are zero outside it, so the pad columns are inert and sliced off.
-    wp = -(-w // 128) * 128
-    pad = ((0, 0), (halo, halo), (0, wp - w))
+    # Lane (w) handling: Mosaic requires lane-aligned VMEM slices, so pad
+    # to the 128 tile. Wide grids additionally tile the lane dim (the
+    # unrolled window ops otherwise blow the vector-register budget —
+    # measured 183M of spill slots at 8064 lanes): column blocks of
+    # ``cw`` lanes with a 128-lane halo (aligned, >> max_disp+2).
+    cw, halo_c = _pick_cols(w)
+    wp = -(-w // cw) * cw
+    ext_c = cw + 2 * halo_c
+    n_cb = wp // cw
+    pad = ((0, 0), (halo, halo), (halo_c, wp - w + halo_c))
     args = [jnp.pad(U[:, 0], pad), jnp.pad(U[:, 1], pad),
             jnp.pad(flags, pad)]
     scratch = [
-        pltpu.VMEM((ext, wp), F32),
-        pltpu.VMEM((ext, wp), F32),
-        pltpu.VMEM((ext, wp), I32),
+        pltpu.VMEM((ext, ext_c), F32),
+        pltpu.VMEM((ext, ext_c), F32),
+        pltpu.VMEM((ext, ext_c), I32),
     ]
     if has_orig:
         args += [jnp.pad(orig[:, 0], pad), jnp.pad(orig[:, 1], pad)]
-        scratch += [pltpu.VMEM((ext, wp), F32), pltpu.VMEM((ext, wp), F32)]
+        scratch += [pltpu.VMEM((ext, ext_c), F32),
+                    pltpu.VMEM((ext, ext_c), F32)]
 
     kernel = partial(
         _advect_vel_kernel,
         D=max_disp, dt=float(dt), strength=float(maccormack_strength),
-        block=block, halo=halo, h=h, w=w, has_orig=has_orig,
+        block=block, halo=halo, cw=cw, halo_c=halo_c, h=h, w=w,
+        has_orig=has_orig,
     )
     grid_spec = pl.GridSpec(
-        grid=(b, n_rb),
+        grid=(b, n_rb, n_cb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(args),
         out_specs=[
-            pl.BlockSpec((1, block, wp), lambda bi, rb: (bi, rb, 0)),
-            pl.BlockSpec((1, block, wp), lambda bi, rb: (bi, rb, 0)),
+            pl.BlockSpec((1, block, cw), lambda bi, rb, cb: (bi, rb, cb)),
+            pl.BlockSpec((1, block, cw), lambda bi, rb, cb: (bi, rb, cb)),
         ],
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((len(args),))],
     )
@@ -259,12 +271,12 @@ def advect_velocity_pallas(
     return jnp.stack([out_u, out_v], axis=1)[..., :w]
 
 
-def _interpol_fluid_window_tile(src, fl, pos_x, pos_y, D, row0, h, w):
+def _interpol_fluid_window_tile(src, fl, pos_x, pos_y, D, row0, col0, h, w):
     """Fluid-aware bilinear window sample on an extended tile (matches
     ops.window.interpol_with_fluid_window). ``fl`` is the fluid mask as f32."""
     th, tw = src.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
-    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
     cx = xx.astype(F32) + 0.5
     cy = yy.astype(F32) + 0.5
     px = jnp.clip(pos_x, cx - D, cx + D) - 0.5
@@ -321,12 +333,13 @@ def _interpol_fluid_window_tile(src, fl, pos_x, pos_y, D, row0, h, w):
     return jnp.where(fval, Ival, plain)
 
 
-def _clamp_scalar_tile(dst, src, fwd, fl_ok, pos_x, pos_y, D, row0, h, w):
+def _clamp_scalar_tile(dst, src, fwd, fl_ok, pos_x, pos_y, D, row0, col0,
+                       h, w):
     """3x3 fluid-neighbourhood clamp on an extended tile (matches
     ops.window.clamp_bounds_scalar_window semantics)."""
     th, tw = src.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
-    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
     cx = xx.astype(F32) + 0.5
     cy = yy.astype(F32) + 0.5
     px = jnp.clip(pos_x, cx - D, cx + D)
@@ -361,16 +374,20 @@ def _advect_scalar_kernel(
     src_hbm, u_hbm, v_hbm, flags_hbm,
     out_ref,
     src_s, u_s, v_s, fl_s, sems,
-    *, D, dt, strength, sample_outside, block, halo, h, w,
+    *, D, dt, strength, sample_outside, block, halo, cw, halo_c, h, w,
 ):
     bi = pl.program_id(0)
     rb = pl.program_id(1)
-    row0 = rb * block - halo  # global row of the ext. tile's first row
+    cb = pl.program_id(2)
+    row0 = rb * block - halo    # global row/col of the ext. tile's origin
+    col0 = cb * cw - halo_c
     ext = block + 2 * halo
+    ext_c = cw + 2 * halo_c
 
     cps = [
         pltpu.make_async_copy(
-            r.at[bi, pl.ds(rb * block, ext), :], s, sems.at[k]
+            r.at[bi, pl.ds(rb * block, ext), pl.ds(cb * cw, ext_c)], s,
+            sems.at[k]
         )
         for k, (r, s) in enumerate(
             [(src_hbm, src_s), (u_hbm, u_s), (v_hbm, v_s), (flags_hbm, fl_s)]
@@ -389,12 +406,12 @@ def _advect_scalar_kernel(
     fl_ok = flf if not sample_outside else jnp.ones_like(flf)
 
     # centred velocity, zeroed on the global 1-ring border
-    ccx = _border_zero(0.5 * (u + _shift(u, 0, 1)), row0, h, w)
-    ccy = _border_zero(0.5 * (v + _shift(v, 1, 0)), row0, h, w)
+    ccx = _border_zero(0.5 * (u + _shift(u, 0, 1)), row0, col0, h, w)
+    ccy = _border_zero(0.5 * (v + _shift(v, 1, 0)), row0, col0, h, w)
 
     th, tw = src.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
-    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1)
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
     cx = xx.astype(F32) + 0.5
     cy = yy.astype(F32) + 0.5
 
@@ -402,24 +419,24 @@ def _advect_scalar_kernel(
         bx = cx - sdt * ccx
         by = cy - sdt * ccy
         if sample_outside:
-            val = _interpol_window_tile(field, bx, by, D, row0, h, w)
+            val = _interpol_window_tile(field, bx, by, D, row0, col0, h, w)
         else:
             val = _interpol_fluid_window_tile(
-                field, flf, bx, by, D, row0, h, w
+                field, flf, bx, by, D, row0, col0, h, w
             )
         return jnp.where(fluid, val, field), bx, by
 
     fwd, fx, fy = semi_lagrange(src, dt)
-    fwd = _border_zero(fwd, row0, h, w)
+    fwd = _border_zero(fwd, row0, col0, h, w)
     fwd_px = jnp.where(fluid, fx, cx)
     fwd_py = jnp.where(fluid, fy, cy)
 
     bwd, _, _ = semi_lagrange(fwd, -dt)
-    bwd = _border_zero(bwd, row0, h, w)
+    bwd = _border_zero(bwd, row0, col0, h, w)
 
     dst = jnp.where(fluid, fwd + strength * 0.5 * (src - bwd), fwd)
     out = _clamp_scalar_tile(
-        dst, src, fwd, fl_ok, fwd_px, fwd_py, D, row0, h, w
+        dst, src, fwd, fl_ok, fwd_px, fwd_py, D, row0, col0, h, w
     )
     # the global border keeps the corrected (uncclamped) value, like the
     # XLA path
@@ -428,7 +445,7 @@ def _advect_scalar_kernel(
     )
     out = jnp.where(bmask, dst, out)
 
-    out_ref[0] = out[halo:halo + block, :]
+    out_ref[0] = out[halo:halo + block, halo_c:halo_c + cw]
 
 
 def advect_scalar_pallas(
@@ -445,9 +462,12 @@ def advect_scalar_pallas(
     ext = block + 2 * halo
     n_rb = h // block
 
-    # Lane padding to the 128 tile (see advect_velocity_pallas).
-    wp = -(-w // 128) * 128
-    pad = ((0, 0), (halo, halo), (0, wp - w))
+    # Lane padding + wide-grid column tiling (see advect_velocity_pallas).
+    cw, halo_c = _pick_cols(w)
+    wp = -(-w // cw) * cw
+    ext_c = cw + 2 * halo_c
+    n_cb = wp // cw
+    pad = ((0, 0), (halo, halo), (halo_c, wp - w + halo_c))
     src_p = jnp.pad(src, pad)
     u_p = jnp.pad(U[:, 0], pad)
     v_p = jnp.pad(U[:, 1], pad)
@@ -457,17 +477,18 @@ def advect_scalar_pallas(
         _advect_scalar_kernel,
         D=max_disp, dt=float(dt), strength=float(maccormack_strength),
         sample_outside=bool(sample_outside_fluid),
-        block=block, halo=halo, h=h, w=w,
+        block=block, halo=halo, cw=cw, halo_c=halo_c, h=h, w=w,
     )
     grid_spec = pl.GridSpec(
-        grid=(b, n_rb),
+        grid=(b, n_rb, n_cb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=pl.BlockSpec((1, block, wp), lambda bi, rb: (bi, rb, 0)),
+        out_specs=pl.BlockSpec((1, block, cw),
+                               lambda bi, rb, cb: (bi, rb, cb)),
         scratch_shapes=[
-            pltpu.VMEM((ext, wp), F32),
-            pltpu.VMEM((ext, wp), F32),
-            pltpu.VMEM((ext, wp), F32),
-            pltpu.VMEM((ext, wp), I32),
+            pltpu.VMEM((ext, ext_c), F32),
+            pltpu.VMEM((ext, ext_c), F32),
+            pltpu.VMEM((ext, ext_c), F32),
+            pltpu.VMEM((ext, ext_c), I32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -480,6 +501,17 @@ def advect_scalar_pallas(
         ),
         interpret=interpret,
     )(src_p, u_p, v_p, fl_p)[..., :w]
+
+
+def _pick_cols(w: int, wide: int = 1024, cw_wide: int = 512):
+    """Column-tiling plan: (cw, halo_c). Narrow grids run as one lane
+    block (cw = 128-padded w, no halo); wide grids use ``cw_wide``-lane
+    blocks with a 128-lane halo so the unrolled window ops stay within the
+    vector-register budget."""
+    wp = -(-w // 128) * 128
+    if wp <= wide:
+        return wp, 0
+    return cw_wide, 128
 
 
 def pick_block(h: int, prefer: int = 64):
