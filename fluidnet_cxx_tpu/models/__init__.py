@@ -5,6 +5,7 @@ from .fluidnet import (
     assemble_inputs,
     init_params,
     make_project_fn,
+    make_project_fn_fused_forward,
     scale_std,
 )
 from .multi_scale import MultiScaleNet
@@ -14,6 +15,7 @@ from .punet3d import FluidNet3, PUNet3, init_params3, make_project_fn3
 __all__ = [
     "FluidNet", "FluidNet3", "FluidNetTower", "MultiScaleNet", "PUNet",
     "PUNet3", "assemble_inputs", "depth_to_space", "init_params",
-    "init_params3", "make_project_fn", "make_project_fn3", "scale_std",
+    "init_params3", "make_project_fn", "make_project_fn3",
+    "make_project_fn_fused_forward", "scale_std",
     "space_to_depth", "summary",
 ]

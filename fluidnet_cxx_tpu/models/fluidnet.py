@@ -216,6 +216,44 @@ def make_project_fn(model: FluidNet, params, deterministic: bool = True):
     return project
 
 
+def make_project_fn_fused_forward(model: FluidNet, params, h: int, w: int,
+                                  compute_dtype=jnp.bfloat16):
+    """Inference projection with the PUNet forward as ONE Pallas kernel.
+
+    Replaces ``make_project_fn`` when the model is a refine-free PUNet on a
+    square power-of-two grid: assemble -> fused MXU forward
+    (ops/pallas/punet_pallas.py, all convs in one VMEM-resident pallas_call)
+    -> fused projection tail (div + polish sweeps + velocity update + wall
+    BCs in one kernel). Numerically equivalent to the flax forward (the
+    kernel is parity-tested against ``PUNet.__call__``); inference-only —
+    training keeps the differentiable flax path.
+    """
+    cfg = model.cfg
+    if (cfg.model != "PUNet" or cfg.punet_refine_convs != 0 or h != w
+            or cfg.polish_impl not in ("fused", "mg")):
+        raise ValueError("fused forward needs a refine-free PUNet on a "
+                         "square grid with a fused-tail polish_impl")
+    from ..ops.pallas.punet_pallas import make_punet_apply
+
+    fwd = make_punet_apply(cfg, params["params"]["PUNet_0"], h, w,
+                           compute_dtype=compute_dtype)
+
+    def project(p, U, flags, density):
+        x, s, div = assemble_inputs(cfg, p, U, flags, density)
+        p_hat = fwd(x)[..., 0]
+        s3 = s[:, None, None]
+        if cfg.polish_impl == "mg":
+            from ..ops.pallas.mg_pallas import project_mg_pallas
+
+            return project_mg_pallas(flags, U, p0=p_hat * s3, n_vcycles=1)
+        from ..ops.pallas.proj_tail_pallas import project_tail_pallas
+
+        return project_tail_pallas(flags, U, p_hat * s3, cfg.polish_sweeps,
+                                   damping=cfg.polish_damping)
+
+    return project
+
+
 def init_params(model: FluidNet, key, h: int = 128, w: int = 128):
     p = jnp.zeros((1, h, w), jnp.float32)
     U = jnp.zeros((1, 2, h, w), jnp.float32)
