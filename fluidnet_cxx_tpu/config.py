@@ -62,6 +62,12 @@ class SimConfig:
     # obstacles it only affects a ring near the walls; disabling it there
     # trades that for a large speedup.
     line_trace: bool = True
+    # Trace formulation for the XLA window engine: 'march' is the
+    # reference's iterative ray march (calc_line_trace.cpp:259-424),
+    # 'firsthit' the branch-free continuous first-hit reformulation the
+    # fused Pallas kernel uses (ops/line_trace.line_trace_firsthit). The
+    # Pallas fast path always runs 'firsthit'.
+    line_trace_impl: str = "march"
     # Use the fused Pallas kernels (VMEM-resident Jacobi + advection) where
     # shapes are eligible. Requires a real TPU (no CPU interpret dispatch).
     use_pallas: bool = False

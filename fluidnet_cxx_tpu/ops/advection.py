@@ -72,6 +72,7 @@ def advect_scalar(
     line_trace: bool = True,
     impl: str = "gather",
     max_disp: int = 4,
+    line_trace_impl: str = "march",
 ):
     """Advect scalar ``src`` by ``U`` (ref: fluids_init.cpp:265-382).
 
@@ -80,8 +81,13 @@ def advect_scalar(
 
     ``impl='window'`` uses the bounded-window sampling engine (ops/window.py)
     — the TPU fast path, exact for |dt*u| <= max_disp cells (displacements
-    are clamped to the window beyond that).
+    are clamped to the window beyond that). With ``impl='window'`` the
+    obstacle trace can run as the reference's iterative march
+    (``line_trace_impl='march'``) or the branch-free continuous first-hit
+    formulation (``'firsthit'``, the semantics of the fused Pallas kernel —
+    see line_trace.line_trace_firsthit).
     """
+    from .line_trace import line_trace_firsthit
     from .window import (
         clamp_bounds_scalar_window,
         interpol_window,
@@ -104,9 +110,12 @@ def advect_scalar(
         )
         if window:
             disp = jnp.clip(disp, -max_disp, max_disp)
-        back = calc_line_trace(
-            start, disp, flags, line_trace, blocked_lookup=blocked_lookup
-        )
+        if line_trace and window and line_trace_impl == "firsthit":
+            back = line_trace_firsthit(start, disp, flags, max_disp)
+        else:
+            back = calc_line_trace(
+                start, disp, flags, line_trace, blocked_lookup=blocked_lookup
+            )
         if sample_outside_fluid:
             val = (
                 interpol_window(field, back, max_disp)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..celltype import FLUID
-from .common import F32, I32, gather2d
+from .common import F32, I32, cell_index_grid, gather2d, nb
 
 HIT_MARGIN = 1e-5  # ref: calc_line_trace.cpp:7
 EPSILON = 1e-12    # ref: calc_line_trace.cpp:8
@@ -107,6 +107,90 @@ def _ray_box_intersection(origin, direction, ctr, mask):
     hit = hit & (~bad) & mask
     coord = jnp.where(inside[:, None] & mask[:, None], origin, coord)
     return hit, coord
+
+
+def line_trace_firsthit(pos, delta, flags, D: int = 4):
+    """Continuous first-hit line trace, bounded-window form (TPU fast path).
+
+    Branch-free reformulation of the reference's iterative ray march
+    (ref: calc_line_trace.cpp:259-424) for CFL-bounded displacements: the
+    stopping point of a ray from a cell centre is the FIRST intersection of
+    the continuous segment [pos, pos+delta] with (a) any blocked cell's
+    HIT_MARGIN-expanded box inside the (2D+1)^2 window or (b) the domain's
+    margin planes — computed as a min over per-offset slab tests instead of
+    a sequential march, so it runs as one fused window pass (and inside the
+    Pallas advection kernel, where a data-dependent march is impractical).
+
+    Semantics vs the reference march: identical stopping geometry (same
+    expanded-box intersection the march's backoff converges to), except the
+    march samples the ray at unit steps and can step OVER a blocked cell
+    clipped near a corner; the continuous formulation never tunnels. The
+    measured field-level difference on the canonical scenes is quantified in
+    tests/test_advection.py. Positions whose own cell is non-fluid, and
+    zero-length rays, return ``pos`` unchanged (the march's m_cont gate).
+    """
+    b, h, w = flags.shape
+    xx, yy = cell_index_grid(b, h, w)
+    px0, py0 = pos[:, 0], pos[:, 1]
+    dx, dy = delta[:, 0], delta[:, 1]
+    length = jnp.sqrt(dx * dx + dy * dy)
+    can = (length > EPSILON) & (flags == FLUID)
+    inv_len = 1.0 / jnp.maximum(length, EPSILON)
+    dirx, diry = dx * inv_len, dy * inv_len
+
+    INF = jnp.float32(3e38)
+
+    def axis_slabs(p0, d, lo, hi):
+        ok = jnp.abs(d) > EPSILON
+        inv = 1.0 / jnp.where(ok, d, 1.0)
+        t1 = (lo - p0) * inv
+        t2 = (hi - p0) * inv
+        inside = (p0 >= lo) & (p0 <= hi)
+        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
+                         jnp.where(inside, -INF, INF))
+        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
+                         jnp.where(inside, INF, -INF))
+        return t_lo, t_hi
+
+    # Domain margin planes (ref: calc_line_trace.cpp:175-257): the first t
+    # at which a coordinate reaches HIT_MARGIN / dim-HIT_MARGIN moving
+    # outward.
+    def border_t(p0, d, dim):
+        ok = jnp.abs(d) > EPSILON
+        inv = 1.0 / jnp.where(ok, d, 1.0)
+        t1 = (HIT_MARGIN - p0) * inv
+        t2 = (dim - HIT_MARGIN - p0) * inv
+        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
+        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
+        return jnp.minimum(t1, t2)
+
+    t_stop = jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h))
+    t_stop = jnp.minimum(t_stop, length)
+
+    blockedf = (flags != FLUID).astype(F32)
+    for oy in range(-D, D + 1):
+        for ox in range(-D, D + 1):
+            if ox == 0 and oy == 0:
+                continue  # own cell is fluid wherever the trace runs
+            bl = nb(blockedf, oy, ox) > 0.5
+            valid = (
+                (xx + ox >= 0) & (xx + ox < w)
+                & (yy + oy >= 0) & (yy + oy < h)
+            )
+            loX = (xx + ox).astype(F32) - HIT_MARGIN
+            loY = (yy + oy).astype(F32) - HIT_MARGIN
+            tx_lo, tx_hi = axis_slabs(px0, dirx, loX,
+                                      loX + 1.0 + 2.0 * HIT_MARGIN)
+            ty_lo, ty_hi = axis_slabs(py0, diry, loY,
+                                      loY + 1.0 + 2.0 * HIT_MARGIN)
+            t_in = jnp.maximum(tx_lo, ty_lo)
+            t_out = jnp.minimum(tx_hi, ty_hi)
+            hit = bl & valid & (t_in <= t_out) & (t_in >= 0)
+            t_stop = jnp.where(hit, jnp.minimum(t_stop, t_in), t_stop)
+
+    t_stop = jnp.maximum(t_stop, 0.0)
+    traced = jnp.stack([px0 + t_stop * dirx, py0 + t_stop * diry], axis=1)
+    return jnp.where(can[:, None], traced, pos)
 
 
 def calc_line_trace(pos, delta, flags, do_line_trace: bool = True,

@@ -370,11 +370,81 @@ def _clamp_scalar_tile(dst, src, fwd, fl_ok, pos_x, pos_y, D, row0, col0,
     )
 
 
+def _line_trace_tile(px0, py0, dxv, dyv, blockedf, D, row0, col0, h, w):
+    """Continuous first-hit obstacle trace on an extended tile — the same
+    maths as line_trace.line_trace_firsthit (see its docstring for the
+    march-vs-first-hit semantics), with window lookups as static shifts.
+    ``blockedf`` is the non-fluid mask as f32; positions/deltas are (th, tw)
+    absolute coordinates. Returns the traced (x, y)."""
+    from ..line_trace import EPSILON, HIT_MARGIN
+
+    th, tw = px0.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
+
+    length = jnp.sqrt(dxv * dxv + dyv * dyv)
+    can = (length > EPSILON) & (blockedf < 0.5)
+    inv_len = 1.0 / jnp.maximum(length, EPSILON)
+    dirx, diry = dxv * inv_len, dyv * inv_len
+    INF = jnp.float32(3e38)
+
+    def axis_slabs(p0, d, lo, hi):
+        ok = jnp.abs(d) > EPSILON
+        inv = 1.0 / jnp.where(ok, d, 1.0)
+        t1 = (lo - p0) * inv
+        t2 = (hi - p0) * inv
+        inside = (p0 >= lo) & (p0 <= hi)
+        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
+                         jnp.where(inside, -INF, INF))
+        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
+                         jnp.where(inside, INF, -INF))
+        return t_lo, t_hi
+
+    def border_t(p0, d, dim):
+        ok = jnp.abs(d) > EPSILON
+        inv = 1.0 / jnp.where(ok, d, 1.0)
+        t1 = (HIT_MARGIN - p0) * inv
+        t2 = (dim - HIT_MARGIN - p0) * inv
+        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
+        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
+        return jnp.minimum(t1, t2)
+
+    t_stop = jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h))
+    t_stop = jnp.minimum(t_stop, length)
+
+    for oy in range(-D, D + 1):
+        for ox in range(-D, D + 1):
+            if ox == 0 and oy == 0:
+                continue
+            bl = _shift(blockedf, oy, ox) > 0.5
+            valid = (
+                (xx + ox >= 0) & (xx + ox < w)
+                & (yy + oy >= 0) & (yy + oy < h)
+            )
+            loX = (xx + ox).astype(F32) - HIT_MARGIN
+            loY = (yy + oy).astype(F32) - HIT_MARGIN
+            tx_lo, tx_hi = axis_slabs(px0, dirx, loX,
+                                      loX + 1.0 + 2.0 * HIT_MARGIN)
+            ty_lo, ty_hi = axis_slabs(py0, diry, loY,
+                                      loY + 1.0 + 2.0 * HIT_MARGIN)
+            t_in = jnp.maximum(tx_lo, ty_lo)
+            t_out = jnp.minimum(tx_hi, ty_hi)
+            hit = bl & valid & (t_in <= t_out) & (t_in >= 0)
+            t_stop = jnp.where(hit, jnp.minimum(t_stop, t_in), t_stop)
+
+    t_stop = jnp.maximum(t_stop, 0.0)
+    return (
+        jnp.where(can, px0 + t_stop * dirx, px0),
+        jnp.where(can, py0 + t_stop * diry, py0),
+    )
+
+
 def _advect_scalar_kernel(
     src_hbm, u_hbm, v_hbm, flags_hbm,
     out_ref,
     src_s, u_s, v_s, fl_s, sems,
     *, D, dt, strength, sample_outside, block, halo, cw, halo_c, h, w,
+    line_trace=False,
 ):
     bi = pl.program_id(0)
     rb = pl.program_id(1)
@@ -416,8 +486,18 @@ def _advect_scalar_kernel(
     cy = yy.astype(F32) + 0.5
 
     def semi_lagrange(field, sdt):
-        bx = cx - sdt * ccx
-        by = cy - sdt * ccy
+        if line_trace:
+            # reference scalar-advection semantics: the back-trace never
+            # crosses obstacles (ref: fluids_init.cpp:300); the XLA window
+            # path clips the displacement to the window before tracing.
+            dxv = jnp.clip(-sdt * ccx, -D, D)
+            dyv = jnp.clip(-sdt * ccy, -D, D)
+            bx, by = _line_trace_tile(
+                cx, cy, dxv, dyv, 1.0 - flf, D, row0, col0, h, w
+            )
+        else:
+            bx = cx - sdt * ccx
+            by = cy - sdt * ccy
         if sample_outside:
             val = _interpol_window_tile(field, bx, by, D, row0, col0, h, w)
         else:
@@ -451,11 +531,14 @@ def _advect_scalar_kernel(
 def advect_scalar_pallas(
     dt, src, U, flags, maccormack_strength: float = 0.75,
     sample_outside_fluid: bool = False, max_disp: int = 4,
-    block: int = 64, interpret: bool = False,
+    block: int = 64, interpret: bool = False, line_trace: bool = False,
 ):
-    """MacCormack scalar advection without the line trace (the straight
-    back-trace variant; == ops.advection.advect_scalar(impl='window',
-    line_trace=False))."""
+    """Fused MacCormack scalar advection. With ``line_trace=True`` the
+    back-traces run the continuous first-hit obstacle trace
+    (== ops.advection.advect_scalar(impl='window', line_trace=True,
+    line_trace_impl='firsthit'), the reference's scalar-advection
+    semantics, ref: fluids_init.cpp:300); with False the straight
+    back-trace variant (== line_trace=False)."""
     b, h, w = src.shape
     assert h % block == 0, (h, block)
     halo = -(-(max_disp + 2) // 8) * 8  # 8-row aligned for Mosaic DMA
@@ -478,6 +561,7 @@ def advect_scalar_pallas(
         D=max_disp, dt=float(dt), strength=float(maccormack_strength),
         sample_outside=bool(sample_outside_fluid),
         block=block, halo=halo, cw=cw, halo_c=halo_c, h=h, w=w,
+        line_trace=bool(line_trace),
     )
     grid_spec = pl.GridSpec(
         grid=(b, n_rb, n_cb),

@@ -110,15 +110,20 @@ def simulate_step(
         orig = U
 
     if cfg.advect_density:
-        if pallas_ok and not cfg.line_trace and cfg.advection_method != "eulerFluidNet":
+        if pallas_ok and cfg.advection_method != "eulerFluidNet":
             from ..ops.pallas.advect_pallas import advect_scalar_pallas
 
+            # line_trace runs fused too (the continuous first-hit trace,
+            # see ops/pallas/advect_pallas._line_trace_tile) — the fast
+            # path keeps the reference's obstacle-aware scalar advection
+            # semantics (ref: fluids_init.cpp:300).
             rho = advect_scalar_pallas(
                 cfg.dt, rho, U, flags,
                 maccormack_strength=cfg.maccormack_strength,
                 sample_outside_fluid=cfg.sample_outside_fluid,
                 max_disp=cfg.max_disp,
                 block=_blk,
+                line_trace=cfg.line_trace,
             )
         else:
             rho = advect_scalar(
@@ -130,6 +135,7 @@ def simulate_step(
                 impl=cfg.advection_impl,
                 max_disp=cfg.max_disp,
                 line_trace=cfg.line_trace,
+                line_trace_impl=cfg.line_trace_impl,
             )
         if cfg.correct_scalar:
             div = velocity_divergence(U, flags)

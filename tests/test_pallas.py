@@ -78,6 +78,31 @@ def test_advect_scalar_pallas_matches_window(rng):
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_advect_scalar_pallas_line_trace_matches_window(rng):
+    """Fused scalar advection WITH the first-hit obstacle trace == the XLA
+    window path running the same formulation (interpret mode). This is the
+    fast path's reference-semantics mode (ref: fluids_init.cpp:300)."""
+    from fluidnet_cxx_tpu.ops.pallas.advect_pallas import advect_scalar_pallas
+
+    flags = random_flags(rng, 1, 32, 32, p_obstacle=0.1)
+    U = (2.0 * rng.standard_normal((1, 2, 32, 32))).astype(np.float32)
+    rho = rng.random((1, 32, 32)).astype(np.float32)
+    got = np.asarray(
+        advect_scalar_pallas(
+            0.3, rho, U, flags, 0.6, max_disp=4, block=16, interpret=True,
+            line_trace=True,
+        )
+    )
+    want = np.asarray(
+        ops.advect_scalar(
+            0.3, rho, U, flags, maccormack_strength=0.6,
+            line_trace=True, line_trace_impl="firsthit", impl="window",
+            max_disp=4,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_step_pallas_fast_path_matches_xla(monkeypatch):
     """simulate_step(use_pallas=True) == the XLA window path (interpret
     mode; grids must be 128-divisible for the fast path)."""
@@ -413,3 +438,78 @@ def test_project_mg_pallas_matches_chain(rng, monkeypatch):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
                                atol=5e-5)
+
+
+def test_punet_forward_pallas_matches_flax(rng):
+    """Fused whole-PUNet forward (one pallas_call of MXU matmuls) == the
+    flax PUNet at the flagship architecture (patch 8, widths (96,128,128),
+    dilated bottleneck), f32 compute, interpret mode."""
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.config import ModelConfig
+    from fluidnet_cxx_tpu.models.punet import PUNet
+    from fluidnet_cxx_tpu.ops.pallas.punet_pallas import make_punet_apply
+
+    cfg = ModelConfig(
+        model="PUNet", punet_patch=8, punet_widths=(96, 128, 128),
+        punet_level_convs=1, punet_bottleneck_convs=3,
+        punet_bottleneck_dilation=2, punet_refine_convs=0,
+    )
+    h = w = 128
+    net = PUNet(patch=8, widths=(96, 128, 128), level_convs=1,
+                bottleneck_convs=3, bottleneck_dilation=2, refine_convs=0,
+                dtype="float32")
+    x = jnp.asarray(rng.standard_normal((2, h, w, 2)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(net.apply(params, x))
+
+    fwd = make_punet_apply(cfg, params["params"], h, w, interpret=True,
+                           compute_dtype=jnp.float32)
+    got = np.asarray(fwd(x))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_project_fn_fused_forward_matches_flax(rng, monkeypatch):
+    """make_project_fn_fused_forward == make_project_fn on the full learned
+    projection (assemble -> forward -> fused tail), interpret mode."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    from fluidnet_cxx_tpu.config import ModelConfig
+    from fluidnet_cxx_tpu.models import (
+        FluidNet,
+        init_params,
+        make_project_fn,
+        make_project_fn_fused_forward,
+    )
+
+    cfg = ModelConfig(
+        model="PUNet", punet_patch=8, punet_widths=(96, 128),
+        punet_level_convs=1, punet_bottleneck_convs=2,
+        punet_bottleneck_dilation=1, punet_refine_convs=0,
+        polish_sweeps=4, polish_impl="fused",
+    )
+    h = w = 64
+    model = FluidNet(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), h, w)
+
+    flags = random_flags(rng, 1, h, w, p_obstacle=0.0)
+    p = jnp.asarray(rng.standard_normal((1, h, w)), jnp.float32)
+    U = jnp.asarray(rng.standard_normal((1, 2, h, w)), jnp.float32)
+    rho = jnp.asarray(rng.standard_normal((1, h, w)), jnp.float32)
+
+    p_ref, U_ref = make_project_fn(model, params)(p, U, flags, rho)
+    p_got, U_got = make_project_fn_fused_forward(
+        model, params, h, w, compute_dtype=jnp.float32)(p, U, flags, rho)
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_ref),
+                               atol=2e-4)
