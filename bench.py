@@ -68,6 +68,16 @@ def load_flagship(res):
         ts, _, _ = load_train_checkpoint(MODEL_DIR, template, best=True)
         params = ts.params
         info = f"{mcfg.model} ({MODEL_DIR}, polish={mcfg.polish_sweeps})"
+        if (use_pallas and mcfg.model == "PUNet"
+                and mcfg.punet_refine_convs == 0
+                and res & (res - 1) == 0):
+            # whole forward as ONE Pallas kernel (punet_pallas.py) + the
+            # fused tail — the round-3 projection path.
+            from fluidnet_cxx_tpu.models import make_project_fn_fused_forward
+
+            project = make_project_fn_fused_forward(model, params, res, res)
+            info += ", fused-forward"
+            return model, params, project, info
     except Exception as e:
         log(f"checkpoint load failed ({e}); using untrained ScaleNet")
         mcfg = ModelConfig(model="ScaleNet")
@@ -80,7 +90,12 @@ def load_flagship(res):
 def build(res, cfg_kw, project=None):
     from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
 
-    fast = dict(use_pallas=jax.default_backend() != "cpu", line_trace=False,
+    # line_trace defaults ON: the reference's scalar advection always
+    # ray-marches around obstacles (fluids_init.cpp:300); round 3 put the
+    # first-hit trace in the fused kernel so the headline runs reference
+    # semantics. BENCH_LINE_TRACE=0 reproduces the round-2 trace-off mode.
+    fast = dict(use_pallas=jax.default_backend() != "cpu",
+                line_trace=os.environ.get("BENCH_LINE_TRACE", "1") == "1",
                 dt=0.1)
     cfg = plume_config(**fast, **cfg_kw)
     # plumeConfig.yaml scene: injectionDensity .1, velocity 2 (scaled by
@@ -239,6 +254,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(sps / (50.0 * cpu_sps), 3),
         "model": infos[512],
+        "line_trace": os.environ.get("BENCH_LINE_TRACE", "1") == "1",
         "proj_ms": round(1e3 * t_proj, 4),
         "proj_mfu": round(mfu, 4),
         "table_512": tables[512],

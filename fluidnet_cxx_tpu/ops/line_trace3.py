@@ -197,3 +197,87 @@ def calc_line_trace3(pos, delta, flags, do_line_trace: bool = True,
         cond, body, (pos, jnp.zeros_like(length), m_cont, jnp.array(0, I32))
     )
     return new_pos
+
+
+def line_trace_firsthit3(pos, delta, flags, D: int = 2):
+    """Continuous first-hit line trace, 3-D bounded-window form.
+
+    3-axis twin of line_trace.line_trace_firsthit (see its docstring): the
+    stopping point is the first intersection of [pos, pos+delta] with a
+    blocked cell's HIT_MARGIN-expanded box inside the (2D+1)^3 window or
+    with the domain's margin planes, as a min over per-offset slab tests.
+    Never tunnels through corner-clipped cells (unlike the unit-step
+    march); ~97% of traces identical to the march at extreme obstacle
+    densities, every difference a strictly earlier stop (2-D measurement,
+    tests/test_advection.py; the 3-D formulation is axis-identical).
+    """
+    from .ops3d import nb3
+    from .window3 import _index_grids3
+
+    b, d, h, w = flags.shape
+    zz, yy, xx = _index_grids3(b, d, h, w)
+    px0, py0, pz0 = pos[:, 0], pos[:, 1], pos[:, 2]
+    dx, dy, dz = delta[:, 0], delta[:, 1], delta[:, 2]
+    length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    can = (length > EPSILON) & (flags == FLUID)
+    inv_len = 1.0 / jnp.maximum(length, EPSILON)
+    dirx, diry, dirz = dx * inv_len, dy * inv_len, dz * inv_len
+    INF = jnp.float32(3e38)
+
+    def axis_slabs(p0, dc, lo, hi):
+        ok = jnp.abs(dc) > EPSILON
+        inv = 1.0 / jnp.where(ok, dc, 1.0)
+        t1 = (lo - p0) * inv
+        t2 = (hi - p0) * inv
+        inside = (p0 >= lo) & (p0 <= hi)
+        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
+                         jnp.where(inside, -INF, INF))
+        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
+                         jnp.where(inside, INF, -INF))
+        return t_lo, t_hi
+
+    def border_t(p0, dc, dim):
+        ok = jnp.abs(dc) > EPSILON
+        inv = 1.0 / jnp.where(ok, dc, 1.0)
+        t1 = (HIT_MARGIN - p0) * inv
+        t2 = (dim - HIT_MARGIN - p0) * inv
+        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
+        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
+        return jnp.minimum(t1, t2)
+
+    t_stop = jnp.minimum(
+        jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h)),
+        border_t(pz0, dirz, d),
+    )
+    t_stop = jnp.minimum(t_stop, length)
+
+    blockedf = (flags != FLUID).astype(F32)
+    for oz in range(-D, D + 1):
+        for oy in range(-D, D + 1):
+            for ox in range(-D, D + 1):
+                if ox == 0 and oy == 0 and oz == 0:
+                    continue
+                bl = nb3(blockedf, oz, oy, ox) > 0.5
+                valid = (
+                    (xx + ox >= 0) & (xx + ox < w)
+                    & (yy + oy >= 0) & (yy + oy < h)
+                    & (zz + oz >= 0) & (zz + oz < d)
+                )
+                loX = (xx + ox).astype(F32) - HIT_MARGIN
+                loY = (yy + oy).astype(F32) - HIT_MARGIN
+                loZ = (zz + oz).astype(F32) - HIT_MARGIN
+                ext = 1.0 + 2.0 * HIT_MARGIN
+                tx_lo, tx_hi = axis_slabs(px0, dirx, loX, loX + ext)
+                ty_lo, ty_hi = axis_slabs(py0, diry, loY, loY + ext)
+                tz_lo, tz_hi = axis_slabs(pz0, dirz, loZ, loZ + ext)
+                t_in = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
+                t_out = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+                hit = bl & valid & (t_in <= t_out) & (t_in >= 0)
+                t_stop = jnp.where(hit, jnp.minimum(t_stop, t_in), t_stop)
+
+    t_stop = jnp.maximum(t_stop, 0.0)
+    traced = jnp.stack(
+        [px0 + t_stop * dirx, py0 + t_stop * diry, pz0 + t_stop * dirz],
+        axis=1,
+    )
+    return jnp.where(can[:, None], traced, pos)

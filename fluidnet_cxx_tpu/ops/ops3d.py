@@ -304,7 +304,8 @@ def _centers3(b, d, h, w):
 
 def advect_scalar3(dt, src, U, flags, maccormack_strength=0.75,
                    method="maccormackFluidNet", impl="gather",
-                   max_disp=2, line_trace=False):
+                   max_disp=2, line_trace=False,
+                   line_trace_impl="march"):
     """Semi-Lagrangian MacCormack scalar advection, 3-D: back-trace
     (optionally an obstacle-aware ray march, like the 2-D reference path)
     + trilinear sampling + 3^3-neighbourhood clamp.
@@ -333,6 +334,11 @@ def advect_scalar3(dt, src, U, flags, maccormack_strength=0.75,
     def trace(sdt):
         if not line_trace:
             return start - sdt * cc
+        if window and line_trace_impl == "firsthit":
+            from .line_trace3 import line_trace_firsthit3
+
+            disp = jnp.clip(-sdt * cc, -max_disp, max_disp)
+            return line_trace_firsthit3(start, disp, flags, max_disp)
         from .line_trace3 import calc_line_trace3
 
         return calc_line_trace3(

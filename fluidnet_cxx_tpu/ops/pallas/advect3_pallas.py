@@ -135,11 +135,84 @@ def _clamp_bounds3_tile(src, fl, px, py, pz, D, z0, y0, d, h, w):
     return n >= 0.5, minv, maxv
 
 
+def _line_trace_tile3(px0, py0, pz0, dxv, dyv, dzv, blockedf, D, z0, y0,
+                      d, h, w):
+    """Continuous first-hit obstacle trace on an extended (z, y)-tile —
+    3-D twin of advect_pallas._line_trace_tile (same maths as
+    line_trace3.line_trace_firsthit3)."""
+    from ..line_trace import EPSILON, HIT_MARGIN
+
+    zz, yy, xx = _iotas(px0.shape, z0, y0)
+    length = jnp.sqrt(dxv * dxv + dyv * dyv + dzv * dzv)
+    can = (length > EPSILON) & (blockedf < 0.5)
+    inv_len = 1.0 / jnp.maximum(length, EPSILON)
+    dirx, diry, dirz = dxv * inv_len, dyv * inv_len, dzv * inv_len
+    INF = jnp.float32(3e38)
+
+    def axis_slabs(p0, dc, lo, hi):
+        ok = jnp.abs(dc) > EPSILON
+        inv = 1.0 / jnp.where(ok, dc, 1.0)
+        t1 = (lo - p0) * inv
+        t2 = (hi - p0) * inv
+        inside = (p0 >= lo) & (p0 <= hi)
+        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
+                         jnp.where(inside, -INF, INF))
+        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
+                         jnp.where(inside, INF, -INF))
+        return t_lo, t_hi
+
+    def border_t(p0, dc, dim):
+        ok = jnp.abs(dc) > EPSILON
+        inv = 1.0 / jnp.where(ok, dc, 1.0)
+        t1 = (HIT_MARGIN - p0) * inv
+        t2 = (dim - HIT_MARGIN - p0) * inv
+        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
+        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
+        return jnp.minimum(t1, t2)
+
+    t_stop = jnp.minimum(
+        jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h)),
+        border_t(pz0, dirz, d),
+    )
+    t_stop = jnp.minimum(t_stop, length)
+
+    for oz in range(-D, D + 1):
+        for oy in range(-D, D + 1):
+            for ox in range(-D, D + 1):
+                if ox == 0 and oy == 0 and oz == 0:
+                    continue
+                bl = _shift3(blockedf, oz, oy, ox) > 0.5
+                valid = (
+                    (xx + ox >= 0) & (xx + ox < w)
+                    & (yy + oy >= 0) & (yy + oy < h)
+                    & (zz + oz >= 0) & (zz + oz < d)
+                )
+                loX = (xx + ox).astype(F32) - HIT_MARGIN
+                loY = (yy + oy).astype(F32) - HIT_MARGIN
+                loZ = (zz + oz).astype(F32) - HIT_MARGIN
+                ext = 1.0 + 2.0 * HIT_MARGIN
+                tx_lo, tx_hi = axis_slabs(px0, dirx, loX, loX + ext)
+                ty_lo, ty_hi = axis_slabs(py0, diry, loY, loY + ext)
+                tz_lo, tz_hi = axis_slabs(pz0, dirz, loZ, loZ + ext)
+                t_in = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
+                t_out = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+                hit = bl & valid & (t_in <= t_out) & (t_in >= 0)
+                t_stop = jnp.where(hit, jnp.minimum(t_stop, t_in), t_stop)
+
+    t_stop = jnp.maximum(t_stop, 0.0)
+    return (
+        jnp.where(can, px0 + t_stop * dirx, px0),
+        jnp.where(can, py0 + t_stop * diry, py0),
+        jnp.where(can, pz0 + t_stop * dirz, pz0),
+    )
+
+
 def _advect_scalar3_kernel(
     src_hbm, u_hbm, v_hbm, w_hbm, flags_hbm,
     out_ref,
     src_s, u_s, v_s, w_s, fl_s, sems,
     *, D, dt, strength, block_z, block_y, halo, d, h, w,
+    line_trace=False,
 ):
     bi = pl.program_id(0)
     zb = pl.program_id(1)
@@ -182,21 +255,33 @@ def _advect_scalar3_kernel(
     cy = yy.astype(F32) + 0.5
     cz = zz.astype(F32) + 0.5
 
-    def sl(field, sdt):
+    def back_pos(sdt):
+        if line_trace:
+            # first-hit obstacle trace on the window-clipped displacement
+            # (== ops3d.advect_scalar3 line_trace_impl='firsthit')
+            dxv = jnp.clip(-sdt * cu, -D, D)
+            dyv = jnp.clip(-sdt * cv, -D, D)
+            dzv = jnp.clip(-sdt * cw, -D, D)
+            return _line_trace_tile3(
+                cx, cy, cz, dxv, dyv, dzv, 1.0 - fluidf, D, z0, y0, d, h, w
+            )
+        return cx - sdt * cu, cy - sdt * cv, cz - sdt * cw
+
+    def sl(field, pos):
         val = _interpol_window3_tile(
-            field, cx - sdt * cu, cy - sdt * cv, cz - sdt * cw,
-            D, z0, y0, d, h, w,
+            field, pos[0], pos[1], pos[2], D, z0, y0, d, h, w,
         )
         return jnp.where(fluid, val, field)
 
-    fwd = _border_zero3(sl(src, dt), z0, y0, d, h, w)
-    bwd = _border_zero3(sl(fwd, -dt), z0, y0, d, h, w)
+    fwd_pos = back_pos(dt)
+    fwd = _border_zero3(sl(src, fwd_pos), z0, y0, d, h, w)
+    bwd = _border_zero3(sl(fwd, back_pos(-dt)), z0, y0, d, h, w)
     dst = jnp.where(fluid, fwd + strength * 0.5 * (src - bwd), fwd)
 
     # clamp around the fwd landing cell (fluid cells; others keep start)
-    px = jnp.where(fluid, cx - dt * cu, cx)
-    py = jnp.where(fluid, cy - dt * cv, cy)
-    pz = jnp.where(fluid, cz - dt * cw, cz)
+    px = jnp.where(fluid, fwd_pos[0], cx)
+    py = jnp.where(fluid, fwd_pos[1], cy)
+    pz = jnp.where(fluid, fwd_pos[2], cz)
     ok, minv, maxv = _clamp_bounds3_tile(
         src, fluidf, px, py, pz, D, z0, y0, d, h, w
     )
@@ -215,12 +300,13 @@ def _advect_scalar3_kernel(
 def advect_scalar3_pallas(
     dt, src, U, flags, maccormack_strength: float = 0.75,
     max_disp: int = 2, block_z: int = 8, block_y: int = 32,
-    interpret: bool = False,
+    interpret: bool = False, line_trace: bool = False,
 ):
-    """== ops3d.advect_scalar3(impl='window', line_trace=False) for per-axis
-    displacements <= max_disp. src (b,d,h,w) f32, U (b,3,d,h,w), flags
-    (b,d,h,w) int32. Tiles over (z, y); VMEM per program ~= 5 fields x
-    (block_z+2*halo)(block_y+2*halo)*w floats plus unrolled-window
+    """== ops3d.advect_scalar3(impl='window') for per-axis displacements
+    <= max_disp (line_trace=True runs the fused first-hit obstacle trace,
+    == line_trace_impl='firsthit'). src (b,d,h,w) f32, U (b,3,d,h,w),
+    flags (b,d,h,w) int32. Tiles over (z, y); VMEM per program ~= 5 fields
+    x (block_z+2*halo)(block_y+2*halo)*w floats plus unrolled-window
     temporaries."""
     b, d, h, w = src.shape
     assert d % block_z == 0, (d, block_z)
@@ -242,6 +328,7 @@ def advect_scalar3_pallas(
         _advect_scalar3_kernel,
         D=max_disp, dt=float(dt), strength=float(maccormack_strength),
         block_z=block_z, block_y=block_y, halo=halo, d=d, h=h, w=w,
+        line_trace=bool(line_trace),
     )
     grid_spec = pl.GridSpec(
         grid=(b, d // block_z, h // block_y),

@@ -112,7 +112,6 @@ def simulate_step3(
         cfg.use_pallas
         and impl == "window"
         and cfg.advection_method != "eulerFluidNet"
-        and not cfg.line_trace
         and cfg.viscosity == 0
         and d % 8 == 0 and h % 32 == 0 and w % 128 == 0
     )
@@ -132,6 +131,7 @@ def simulate_step3(
                 cfg.dt, rho, U, flags,
                 maccormack_strength=cfg.maccormack_strength,
                 max_disp=min(cfg.max_disp, 2),
+                line_trace=cfg.line_trace,
             )
         else:
             rho = ops3d.advect_scalar3(
@@ -141,6 +141,7 @@ def simulate_step3(
                 impl=impl,
                 max_disp=min(cfg.max_disp, 2),
                 line_trace=cfg.line_trace,
+                line_trace_impl=cfg.line_trace_impl,
             )
         if cfg.correct_scalar:
             div0 = ops3d.velocity_divergence3(U, flags)

@@ -29,6 +29,58 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def truth_error(cfg, s, project=None, truth_vcycles=30):
+    """Error of this case's projection operator against the CONVERGED
+    pressure solve, on the case's own end state (VERDICT r2 item 7).
+
+    Advances the state to just before the projection (output_div=True),
+    solves that divergent state to convergence with a deep multigrid run
+    (30 V-cycles: post-projection max|div| ~1e-6, far past the reference's
+    1e-5 convergence bar, ref: solver_cpp/test/test_fluid.cpp:438), applies
+    the case's own projection to the SAME state, and reports the
+    mean-removed relative L2 pressure error plus both post-projection
+    max|div|s.
+    """
+    from fluidnet_cxx_tpu import ops
+    from fluidnet_cxx_tpu.ops.multigrid import solve_mg
+    from fluidnet_cxx_tpu.sim import simulate_step
+
+    s_div = simulate_step(cfg, s, project_fn=project, output_div=True)
+    U = ops.set_wall_bcs(s_div.U, s_div.flags)
+    flags = s_div.flags
+    div = ops.velocity_divergence(U, flags)
+    p_truth = solve_mg(flags, div, n_vcycles=truth_vcycles)
+    U_truth = ops.velocity_update(p_truth, U, flags)
+
+    if cfg.sim_method == "convnet":
+        p_case, U_case = project(s_div.p, U, flags, s_div.density)
+    elif cfg.sim_method == "multigrid":
+        p_case = solve_mg(flags, div, n_vcycles=cfg.mg_vcycles,
+                          pre=cfg.mg_pre, post=cfg.mg_post,
+                          coarse_iters=cfg.mg_coarse_iters)
+        U_case = ops.velocity_update(p_case, U, flags)
+    else:
+        p_case = ops.solve_jacobi_fixed(flags, div, cfg.jacobi_iter)
+        U_case = ops.velocity_update(p_case, U, flags)
+
+    fl = (flags == 1).astype(np.float32)
+    n = np.sum(fl)
+
+    def centred(p):
+        p = np.asarray(p) * np.asarray(fl)
+        return p - (p.sum() / n) * np.asarray(fl)
+
+    pt, pc = centred(p_truth), centred(p_case)
+    p_err = float(np.linalg.norm(pc - pt) / max(np.linalg.norm(pt), 1e-30))
+    dmax_case = float(np.abs(
+        np.asarray(ops.velocity_divergence(U_case, flags))).max())
+    dmax_truth = float(np.abs(
+        np.asarray(ops.velocity_divergence(U_truth, flags))).max())
+    return dict(p_err_vs_truth=round(p_err, 5),
+                max_div_one_shot=round(dmax_case, 6),
+                max_div_truth=round(dmax_truth, 8))
+
+
 def run_case(name, cfg, state0, iters, stat, project=None):
     from fluidnet_cxx_tpu import ops
     from fluidnet_cxx_tpu.sim import simulate_step
@@ -85,10 +137,12 @@ def run_case(name, cfg, state0, iters, stat, project=None):
         max_div=float(np.max(maxs[1:])),
         final_height=int(height),
     )
+    rec.update(truth_error(cfg, s, project))
     print(
         f"{name:24s} {ms:7.3f} ms/step ({1e3/ms:7.1f} steps/s)  "
         f"mean|div| {rec['mean_div']:.6f}  max|div| {rec['max_div']:.5f}  "
-        f"height {rec['final_height']:4d}",
+        f"height {rec['final_height']:4d}  "
+        f"p_err_vs_truth {rec['p_err_vs_truth']:.4f}",
         flush=True,
     )
     return rec

@@ -425,3 +425,42 @@ def test_cylinder3_scene_runs():
     west_ob[:, :, 1:] = ob[:, :, :-1]
     tang = np.abs(U[0, 1][(fl[0] == 1) & west_ob])
     assert tang.size and tang.max() < 0.6, tang.max()
+
+
+def test_line_trace_firsthit3_slab_equivalence(rng):
+    """3-D first-hit trace on a z-uniform slab (zero z motion) == the 2-D
+    first-hit trace layer-wise, and the traced points obey the invariant
+    (never inside solid / outside the domain)."""
+    from fluidnet_cxx_tpu.ops.line_trace import line_trace_firsthit
+    from fluidnet_cxx_tpu.ops.line_trace3 import (
+        _is_blocked_cell3,
+        line_trace_firsthit3,
+    )
+
+    flags2 = random_flags(rng, B, H, W, p_obstacle=0.12)
+    d = 6
+    flags3 = np.repeat(flags2[:, None], d, axis=1)
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    pos2 = np.stack([xx + 0.5, yy + 0.5], 0)[None]
+    delta2 = np.clip(
+        2.0 * rng.standard_normal((B, 2, H, W)), -2, 2
+    ).astype(np.float32)
+    got2 = np.asarray(line_trace_firsthit(pos2, delta2, flags2, D=2))
+
+    pos3 = np.zeros((B, 3, d, H, W), np.float32)
+    delta3 = np.zeros((B, 3, d, H, W), np.float32)
+    for k in range(d):
+        pos3[:, 0, k], pos3[:, 1, k] = pos2[:, 0], pos2[:, 1]
+        pos3[:, 2, k] = k + 0.5
+        delta3[:, 0, k], delta3[:, 1, k] = delta2[:, 0], delta2[:, 1]
+    got3 = np.asarray(line_trace_firsthit3(pos3, delta3, flags3, D=2))
+
+    k = d // 2
+    fl = flags2 == 1
+    np.testing.assert_allclose(got3[:, 0, k][fl], got2[:, 0][fl], atol=1e-4)
+    np.testing.assert_allclose(got3[:, 1, k][fl], got2[:, 1][fl], atol=1e-4)
+    np.testing.assert_allclose(got3[:, 2, k][fl], k + 0.5, atol=1e-6)
+
+    blocked = np.asarray(_is_blocked_cell3(got3, flags3))
+    assert not (blocked & (flags3 == 1)).any()

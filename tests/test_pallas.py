@@ -181,6 +181,32 @@ def test_advect_scalar3_pallas_matches_window(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_advect_scalar3_pallas_line_trace_matches_window(rng):
+    """3-D fused scalar advection WITH the first-hit trace == the XLA
+    window path running the same formulation (interpret mode).
+
+    max_disp=1 keeps the unrolled trace window at 3^3 (the D=2 5^3 graph
+    takes >20 min to build in interpret mode on CPU; the kernel is
+    parameterised only by D, and the D=2 sampling path is covered by
+    test_advect_scalar3_pallas_matches_window)."""
+    from fluidnet_cxx_tpu.ops import ops3d
+    from fluidnet_cxx_tpu.ops.pallas.advect3_pallas import (
+        advect_scalar3_pallas,
+    )
+
+    flags = _random_flags3(rng, 1, 16, 32, 16, p_obstacle=0.08)
+    U = np.clip(1.0 * rng.standard_normal((1, 3, 16, 32, 16)), -1, 1
+                ).astype(np.float32)
+    rho = rng.random((1, 16, 32, 16)).astype(np.float32)
+    want = np.asarray(ops3d.advect_scalar3(
+        0.8, rho, U, flags, 0.6, impl="window", max_disp=1,
+        line_trace=True, line_trace_impl="firsthit"))
+    got = np.asarray(advect_scalar3_pallas(
+        0.8, rho, U, flags, 0.6, max_disp=1, block_z=8, block_y=16,
+        interpret=True, line_trace=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_advect_velocity3_pallas_matches_window(rng):
     """3-D fused MAC velocity advection kernel == XLA window (interpret)."""
     from fluidnet_cxx_tpu.ops import ops3d
