@@ -58,8 +58,17 @@ def apply_const_vals(state: SimState, U, density):
 
 def _wall_bcs(cfg: SimConfig, state: SimState, U):
     """Wall BC block, incl. the periodic overrides used by Rayleigh-Taylor
-    (ref: pytorch/lib/simulate.py:120-130,156-166)."""
-    stick = state.flags_stick is not None
+    (ref: pytorch/lib/simulate.py:120-130,156-166).
+
+    Documented divergence (PARITY.md): stick BCs apply in EVERY sim method
+    when the scene carries ``flags_stick``, not only in convnet mode. The
+    reference's jacobi dispatch can never reach its stick op — simulate.py
+    only calls it under convnet, and its solver says "TODO: implement
+    TypeStick" (solver_cpp/src/boundaryCondition/bcs.cpp:86) — so a
+    "no-slip" jacobi cylinder there silently runs free-slip walls.
+    ``set_wall_bcs_stick`` subsumes ``set_wall_bcs`` (its step 2 is the
+    slip-on-normals rule), so this completes the stated intent.
+    """
     if cfg.sim_method != "convnet":
         U_before = U
         U = set_wall_bcs(U, state.flags)
@@ -67,7 +76,7 @@ def _wall_bcs(cfg: SimConfig, state: SimState, U):
             U = U.at[:, 1, :, 1].set(U_before[:, 1, :, -1])
         if cfg.periodic_y:
             U = U.at[:, 0, 1, :].set(U_before[:, 0, -1, :])
-    elif stick:
+    if state.flags_stick is not None:
         U = set_wall_bcs_stick(U, state.flags, state.flags_stick)
     return U
 

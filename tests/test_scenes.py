@@ -1,5 +1,6 @@
 """Scene builders: BC mask semantics, cylinder/stick behaviour, box."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fluidnet_cxx_tpu import ops
@@ -60,6 +61,29 @@ def test_cylinder_scene_and_stick_bcs():
     assert np.abs(U[0, :, inside]).max() < 1e-5
     # inlet pinned at 1
     assert abs(U[0, 0, 20, 1] - 1.0) < 1e-5
+
+
+def test_stick_bcs_apply_in_jacobi_path():
+    """Stick BCs run in EVERY sim method when the scene carries flags_stick
+    (documented divergence, PARITY.md: the reference's jacobi dispatch can
+    never reach its stick op — bcs.cpp:86 'TODO: implement TypeStick' — so
+    its 'no-slip' jacobi cylinder silently ran free-slip walls)."""
+    from fluidnet_cxx_tpu.sim.step import _wall_bcs
+
+    state, nu = create_cylinder_scene(
+        res_x=64, res_y=48, center_x=20, center_y=24, radius=5.5,
+        inlet_vel=1.0, reynolds=100.0,
+    )
+    cfg = cylinder_config(nu, jacobi_iter=8)
+    assert cfg.sim_method == "jacobi"
+    rng = np.random.default_rng(3)
+    U = jnp.asarray(rng.standard_normal((1, 2, 48, 64)).astype(np.float32))
+    got = np.asarray(_wall_bcs(cfg, state, U))
+    want = np.asarray(ops.set_wall_bcs_stick(
+        ops.set_wall_bcs(U, state.flags), state.flags, state.flags_stick
+    ))
+    np.testing.assert_array_equal(got, want)
+    assert not np.array_equal(got, np.asarray(ops.set_wall_bcs(U, state.flags)))
 
 
 def test_box2d():
