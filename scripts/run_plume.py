@@ -69,7 +69,10 @@ def main():
 
     cfg = sim_config_from_mconf(conf).replace(sim_method=method)
     if args.fast:
-        cfg = cfg.replace(use_pallas=True, line_trace=False)
+        # the fused kernels run the first-hit line trace since r3 —
+        # --fast no longer trades away the reference's obstacle-aware
+        # advection semantics (fluids_init.cpp:300)
+        cfg = cfg.replace(use_pallas=True)
 
     project = None
     if method == "convnet":

@@ -65,7 +65,10 @@ def main():
         sim_method=conf.get("simMethod", "jacobi")
     )
     if args.fast:
-        cfg = cfg.replace(use_pallas=True, line_trace=False)
+        # the fused kernels run the first-hit line trace since r3 —
+        # --fast no longer trades away the reference's obstacle-aware
+        # advection semantics (fluids_init.cpp:300)
+        cfg = cfg.replace(use_pallas=True)
 
     state = create_rayleigh_taylor_scene(
         res_x, res_y,
