@@ -332,7 +332,7 @@ def advect_scalar3_pallas(
     )
     grid_spec = pl.GridSpec(
         grid=(b, d // block_z, h // block_y),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec(
             (1, block_z, block_y, w), lambda bi, zb, yb: (bi, zb, yb, 0)
         ),
@@ -530,7 +530,7 @@ def advect_velocity3_pallas(
     )
     grid_spec = pl.GridSpec(
         grid=(b, d // block_z, h // block_y),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[out_spec, out_spec, out_spec],
         scratch_shapes=[
             pltpu.VMEM((ext_z, ext_y, w), F32),

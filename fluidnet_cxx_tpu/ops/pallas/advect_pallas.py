@@ -249,7 +249,7 @@ def advect_velocity_pallas(
     )
     grid_spec = pl.GridSpec(
         grid=(b, n_rb, n_cb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(args),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(args),
         out_specs=[
             pl.BlockSpec((1, block, cw), lambda bi, rb, cb: (bi, rb, cb)),
             pl.BlockSpec((1, block, cw), lambda bi, rb, cb: (bi, rb, cb)),
@@ -565,7 +565,7 @@ def advect_scalar_pallas(
     )
     grid_spec = pl.GridSpec(
         grid=(b, n_rb, n_cb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec((1, block, cw),
                                lambda bi, rb, cb: (bi, rb, cb)),
         scratch_shapes=[
