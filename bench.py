@@ -72,12 +72,22 @@ def load_flagship(res):
                 and mcfg.punet_refine_convs == 0
                 and res & (res - 1) == 0):
             # whole forward as ONE Pallas kernel (punet_pallas.py) + the
-            # fused tail — the round-3 projection path.
-            from fluidnet_cxx_tpu.models import make_project_fn_fused_forward
+            # fused tail — the round-3 projection path. Fail SOFT to the
+            # flax forward: a fused-path error must degrade the projection
+            # engine, never the checkpoint (the outer except falls back to
+            # an untrained net, which would silently wreck the artifact).
+            try:
+                from fluidnet_cxx_tpu.models import (
+                    make_project_fn_fused_forward,
+                )
 
-            project = make_project_fn_fused_forward(model, params, res, res)
-            info += ", fused-forward"
-            return model, params, project, info
+                project = make_project_fn_fused_forward(
+                    model, params, res, res
+                )
+                info += ", fused-forward"
+                return model, params, project, info
+            except Exception as e:
+                log(f"fused forward unavailable ({e}); flax forward")
     except Exception as e:
         log(f"checkpoint load failed ({e}); using untrained ScaleNet")
         mcfg = ModelConfig(model="ScaleNet")
