@@ -71,6 +71,12 @@ class SimConfig:
     # Use the fused Pallas kernels (VMEM-resident Jacobi + advection) where
     # shapes are eligible. Requires a real TPU (no CPU interpret dispatch).
     use_pallas: bool = False
+    # Merge scalar + velocity advection into ONE Pallas kernel
+    # (advect_all_pallas): halves the u/v/flags HBM loads and saves a
+    # dispatch. Parity-tested against the standalone kernels; both consume
+    # the same pre-advection U as the step always did. Off by default
+    # until validated on real TPU hardware (Mosaic compilation + timing).
+    fuse_advection: bool = False
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

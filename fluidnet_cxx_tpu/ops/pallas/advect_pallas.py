@@ -587,6 +587,214 @@ def advect_scalar_pallas(
     )(src_p, u_p, v_p, fl_p)[..., :w]
 
 
+def _advect_all_kernel(
+    # src, u, v, flags [, ou, ov] in HBM; outputs rho', u', v'
+    *refs,
+    D, dt, strength, sample_outside, block, halo, cw, halo_c, h, w,
+    line_trace, has_orig,
+):
+    """Scalar + MAC-velocity MacCormack advection in ONE kernel.
+
+    The two standalone kernels (_advect_scalar_kernel, _advect_vel_kernel)
+    each DMA u, v and flags; running both pipelines on one extended tile
+    halves those loads and saves a dispatch — advection is the largest
+    slice of the 512^2 step (docs/results/step_breakdown_512_r3.txt).
+    Semantics are exactly the standalone kernels' (parity-tested)."""
+    if has_orig:
+        (src_hbm, u_hbm, v_hbm, flags_hbm, ou_hbm, ov_hbm,
+         out_rho_ref, out_u_ref, out_v_ref,
+         src_s, u_s, v_s, fl_s, ou_s, ov_s, sems) = refs
+        ins = [(src_hbm, src_s), (u_hbm, u_s), (v_hbm, v_s),
+               (flags_hbm, fl_s), (ou_hbm, ou_s), (ov_hbm, ov_s)]
+    else:
+        (src_hbm, u_hbm, v_hbm, flags_hbm,
+         out_rho_ref, out_u_ref, out_v_ref,
+         src_s, u_s, v_s, fl_s, sems) = refs
+        ins = [(src_hbm, src_s), (u_hbm, u_s), (v_hbm, v_s),
+               (flags_hbm, fl_s)]
+    bi = pl.program_id(0)
+    rb = pl.program_id(1)
+    cb = pl.program_id(2)
+    row0 = rb * block - halo
+    col0 = cb * cw - halo_c
+    ext = block + 2 * halo
+    ext_c = cw + 2 * halo_c
+
+    cps = [
+        pltpu.make_async_copy(
+            r.at[bi, pl.ds(rb * block, ext), pl.ds(cb * cw, ext_c)], s,
+            sems.at[k])
+        for k, (r, s) in enumerate(ins)
+    ]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    src = src_s[:]
+    u = u_s[:]
+    v = v_s[:]
+    ou, ov = (ou_s[:], ov_s[:]) if has_orig else (u, v)
+    flf = jnp.where(fl_s[:] == FLUID, 1.0, 0.0)
+    fluid = flf > 0.5
+    fl_ok = flf if not sample_outside else jnp.ones_like(flf)
+
+    th, tw = src.shape
+    yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
+    xx = jax.lax.broadcasted_iota(I32, (th, tw), 1) + col0
+    cx = xx.astype(F32) + 0.5
+    cy = yy.astype(F32) + 0.5
+
+    # ---- scalar pipeline (== _advect_scalar_kernel) ----
+    ccx = _border_zero(0.5 * (u + _shift(u, 0, 1)), row0, col0, h, w)
+    ccy = _border_zero(0.5 * (v + _shift(v, 1, 0)), row0, col0, h, w)
+
+    def sl_scalar(field, sdt):
+        if line_trace:
+            dxv = jnp.clip(-sdt * ccx, -D, D)
+            dyv = jnp.clip(-sdt * ccy, -D, D)
+            bx, by = _line_trace_tile(
+                cx, cy, dxv, dyv, 1.0 - flf, D, row0, col0, h, w
+            )
+        else:
+            bx = cx - sdt * ccx
+            by = cy - sdt * ccy
+        if sample_outside:
+            val = _interpol_window_tile(field, bx, by, D, row0, col0, h, w)
+        else:
+            val = _interpol_fluid_window_tile(
+                field, flf, bx, by, D, row0, col0, h, w
+            )
+        return jnp.where(fluid, val, field), bx, by
+
+    s_fwd, fx, fy = sl_scalar(src, dt)
+    s_fwd = _border_zero(s_fwd, row0, col0, h, w)
+    fwd_px = jnp.where(fluid, fx, cx)
+    fwd_py = jnp.where(fluid, fy, cy)
+    s_bwd, _, _ = sl_scalar(s_fwd, -dt)
+    s_bwd = _border_zero(s_bwd, row0, col0, h, w)
+    s_dst = jnp.where(fluid, s_fwd + strength * 0.5 * (src - s_bwd), s_fwd)
+    s_out = _clamp_scalar_tile(
+        s_dst, src, s_fwd, fl_ok, fwd_px, fwd_py, D, row0, col0, h, w
+    )
+    bmask = (xx < 1) | (xx > w - 2) | (yy < 1) | (yy > h - 2)
+    s_out = jnp.where(bmask, s_dst, s_out)
+
+    # ---- velocity pipeline (== _advect_vel_kernel) ----
+    mac_x_u = _border_zero(u, row0, col0, h, w)
+    mac_x_v = _border_zero(
+        0.25 * (v + _shift(v, 0, -1) + _shift(v, 1, 0) + _shift(v, 1, -1)),
+        row0, col0, h, w,
+    )
+    mac_y_u = _border_zero(
+        0.25 * (u + _shift(u, -1, 0) + _shift(u, 0, 1) + _shift(u, -1, 1)),
+        row0, col0, h, w,
+    )
+    mac_y_v = _border_zero(v, row0, col0, h, w)
+
+    def sl_vel(fu, fv, sdt):
+        su = _interpol_window_tile(
+            fu, cx - sdt * mac_x_u, cy - sdt * mac_x_v, D, row0, col0, h, w
+        )
+        sv = _interpol_window_tile(
+            fv, cx - sdt * mac_y_u, cy - sdt * mac_y_v, D, row0, col0, h, w
+        )
+        return jnp.where(fluid, su, fu), jnp.where(fluid, sv, fv)
+
+    fwd_u, fwd_v = sl_vel(ou, ov, dt)
+    fwd_u = _border_zero(fwd_u, row0, col0, h, w)
+    fwd_v = _border_zero(fwd_v, row0, col0, h, w)
+    bwd_u, bwd_v = sl_vel(fwd_u, fwd_v, -dt)
+    bwd_u = _border_zero(bwd_u, row0, col0, h, w)
+    bwd_v = _border_zero(bwd_v, row0, col0, h, w)
+
+    fl_xm = _shift(flf, 0, -1) > 0.5
+    fl_ym = _shift(flf, -1, 0) > 0.5
+    skip_u = (~fluid) | ((xx > 0) & (~fl_xm))
+    skip_v = (~fluid) | ((yy > 0) & (~fl_ym))
+    dst_u = jnp.where(skip_u, fwd_u, fwd_u + strength * 0.5 * (ou - bwd_u))
+    dst_v = jnp.where(skip_v, fwd_v, fwd_v + strength * 0.5 * (ov - bwd_v))
+
+    out_u = _clamp_mac_tile(dst_u, ou, mac_x_u * dt, mac_x_v * dt, D,
+                            row0, col0, h, w)
+    out_v = _clamp_mac_tile(dst_v, ov, mac_y_u * dt, mac_y_v * dt, D,
+                            row0, col0, h, w)
+    out_u = _border_zero(out_u, row0, col0, h, w)
+    out_v = _border_zero(out_v, row0, col0, h, w)
+
+    out_rho_ref[0] = s_out[halo:halo + block, halo_c:halo_c + cw]
+    out_u_ref[0] = out_u[halo:halo + block, halo_c:halo_c + cw]
+    out_v_ref[0] = out_v[halo:halo + block, halo_c:halo_c + cw]
+
+
+def advect_all_pallas(
+    dt, src, U, flags, maccormack_strength: float = 0.75,
+    sample_outside_fluid: bool = False, max_disp: int = 4,
+    block: int = 64, interpret: bool = False, line_trace: bool = False,
+    orig=None,
+):
+    """Scalar + MAC velocity advection fused in one pallas_call.
+
+    == (advect_scalar_pallas(dt, src, U, flags, ...),
+        advect_velocity_pallas(dt, U, flags, ..., orig=orig)) — both
+    pipelines consume the SAME pre-advection U, exactly as the step does
+    (ref: pytorch/lib/simulate.py:72-107 advects density then velocity with
+    the un-advected field). Returns (rho', U')."""
+    b, h, w = src.shape
+    assert h % block == 0, (h, block)
+    halo = -(-(max_disp + 2) // 8) * 8
+    ext = block + 2 * halo
+    n_rb = h // block
+    has_orig = orig is not None
+
+    cw, halo_c = _pick_cols(w)
+    wp = -(-w // cw) * cw
+    ext_c = cw + 2 * halo_c
+    n_cb = wp // cw
+    pad = ((0, 0), (halo, halo), (halo_c, wp - w + halo_c))
+    args = [jnp.pad(src, pad), jnp.pad(U[:, 0], pad), jnp.pad(U[:, 1], pad),
+            jnp.pad(flags, pad)]
+    scratch = [
+        pltpu.VMEM((ext, ext_c), F32),
+        pltpu.VMEM((ext, ext_c), F32),
+        pltpu.VMEM((ext, ext_c), F32),
+        pltpu.VMEM((ext, ext_c), I32),
+    ]
+    if has_orig:
+        args += [jnp.pad(orig[:, 0], pad), jnp.pad(orig[:, 1], pad)]
+        scratch += [pltpu.VMEM((ext, ext_c), F32),
+                    pltpu.VMEM((ext, ext_c), F32)]
+
+    kernel = partial(
+        _advect_all_kernel,
+        D=max_disp, dt=float(dt), strength=float(maccormack_strength),
+        sample_outside=bool(sample_outside_fluid),
+        block=block, halo=halo, cw=cw, halo_c=halo_c, h=h, w=w,
+        line_trace=bool(line_trace), has_orig=has_orig,
+    )
+    out_spec = pl.BlockSpec((1, block, cw), lambda bi, rb, cb: (bi, rb, cb))
+    grid_spec = pl.GridSpec(
+        grid=(b, n_rb, n_cb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(args),
+        out_specs=[out_spec, out_spec, out_spec],
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((len(args),))],
+    )
+    rho, out_u, out_v = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, wp), F32),
+            jax.ShapeDtypeStruct((b, h, wp), F32),
+            jax.ShapeDtypeStruct((b, h, wp), F32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+    return rho[..., :w], jnp.stack([out_u, out_v], axis=1)[..., :w]
+
+
 def _pick_cols(w: int, wide: int = 1024, cw_wide: int = 512):
     """Column-tiling plan: (cw, halo_c). Narrow grids run as one lane
     block (cw = 128-padded w, no halo); wide grids use ``cw_wide``-lane

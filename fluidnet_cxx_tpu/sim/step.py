@@ -118,8 +118,31 @@ def simulate_step(
     else:
         orig = U
 
-    if cfg.advect_density:
-        if pallas_ok and cfg.advection_method != "eulerFluidNet":
+    pallas_adv = pallas_ok and cfg.advection_method != "eulerFluidNet"
+    merged = (pallas_adv and cfg.fuse_advection and cfg.advect_density)
+    if merged:
+        # Scalar + velocity advection as ONE kernel: both consume the same
+        # pre-advection U (exactly the two-kernel dataflow below), halving
+        # the u/v/flags HBM loads. correct_scalar still runs after — its
+        # RHS is the PRE-advection divergence, independent of rho'.
+        from ..ops.pallas.advect_pallas import advect_all_pallas
+
+        rho_adv, U_new = advect_all_pallas(
+            cfg.dt, rho, U, flags,
+            maccormack_strength=cfg.maccormack_strength,
+            sample_outside_fluid=cfg.sample_outside_fluid,
+            max_disp=cfg.max_disp,
+            block=_blk,
+            line_trace=cfg.line_trace,
+            orig=None if cfg.viscosity == 0 else orig,
+        )
+        if cfg.correct_scalar:
+            div = velocity_divergence(U, flags)
+            rho_adv = correct_scalar(dt, rho_adv, div, flags)
+        rho = rho_adv
+
+    if cfg.advect_density and not merged:
+        if pallas_adv:
             from ..ops.pallas.advect_pallas import advect_scalar_pallas
 
             # line_trace runs fused too (the continuous first-hit trace,
@@ -150,7 +173,9 @@ def simulate_step(
             div = velocity_divergence(U, flags)
             rho = correct_scalar(dt, rho, div, flags)
 
-    if pallas_ok and cfg.advection_method != "eulerFluidNet":
+    if merged:
+        U = U_new
+    elif pallas_adv:
         # fused kernel; a separate viscous field rides along as ``orig``
         from ..ops.pallas.advect_pallas import advect_velocity_pallas
 

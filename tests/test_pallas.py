@@ -78,6 +78,41 @@ def test_advect_scalar_pallas_matches_window(rng):
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_advect_all_pallas_matches_separate_kernels(rng):
+    """The merged scalar+velocity kernel == running the two standalone
+    kernels, across {trace off/on} x {self-advect / separate viscous orig}
+    (interpret mode). Both pipelines must consume the same pre-advection U,
+    exactly as the step does (ref: simulate.py:72-107)."""
+    from fluidnet_cxx_tpu.ops.pallas.advect_pallas import (
+        advect_all_pallas,
+        advect_scalar_pallas,
+        advect_velocity_pallas,
+    )
+
+    flags = random_flags(rng, 1, 32, 64, p_obstacle=0.1)
+    U = (2.0 * rng.standard_normal((1, 2, 32, 64))).astype(np.float32)
+    rho = rng.random((1, 32, 64)).astype(np.float32)
+    orig = (1.5 * rng.standard_normal((1, 2, 32, 64))).astype(np.float32)
+    for lt in (False, True):
+        for og in (None, orig):
+            r_got, U_got = advect_all_pallas(
+                0.3, rho, U, flags, 0.6, max_disp=2, block=16,
+                interpret=True, line_trace=lt, orig=og,
+            )
+            r_want = advect_scalar_pallas(
+                0.3, rho, U, flags, 0.6, max_disp=2, block=16,
+                interpret=True, line_trace=lt,
+            )
+            U_want = advect_velocity_pallas(
+                0.3, U, flags, 0.6, max_disp=2, block=16,
+                interpret=True, orig=og,
+            )
+            np.testing.assert_array_equal(np.asarray(r_got),
+                                          np.asarray(r_want))
+            np.testing.assert_array_equal(np.asarray(U_got),
+                                          np.asarray(U_want))
+
+
 def test_advect_scalar_pallas_line_trace_matches_window(rng):
     """Fused scalar advection WITH the first-hit obstacle trace == the XLA
     window path running the same formulation (interpret mode). This is the
