@@ -356,6 +356,213 @@ def advect_scalar3_pallas(
     )(*args)
 
 
+def _advect_all3_kernel(
+    src_hbm, u_hbm, v_hbm, w_hbm, flags_hbm,
+    out_rho_ref, out_u_ref, out_v_ref, out_w_ref,
+    src_s, u_s, v_s, w_s, fl_s, sems,
+    *, D, dt, strength, block_z, block_y, halo, d, h, w, line_trace,
+):
+    """Scalar + 3-component MAC velocity MacCormack advection in ONE
+    kernel: the u/v/w/flags tiles are DMA'd once instead of twice (the
+    merged 2-D kernel's rationale, _advect_all_kernel). Semantics equal
+    (_advect_scalar3_kernel, _advect_vel3_kernel); parity-tested."""
+    bi = pl.program_id(0)
+    zb = pl.program_id(1)
+    yb = pl.program_id(2)
+    z0 = zb * block_z - halo
+    y0 = yb * block_y - halo
+    ext_z = block_z + 2 * halo
+    ext_y = block_y + 2 * halo
+
+    copies = [
+        pltpu.make_async_copy(
+            ref.at[bi, pl.ds(zb * block_z, ext_z),
+                   pl.ds(yb * block_y, ext_y)],
+            s, sems.at[i],
+        )
+        for i, (ref, s) in enumerate(
+            ((src_hbm, src_s), (u_hbm, u_s), (v_hbm, v_s),
+             (w_hbm, w_s), (flags_hbm, fl_s))
+        )
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    src = src_s[:]
+    u = u_s[:]
+    v = v_s[:]
+    wz_ = w_s[:]
+    fluidf = jnp.where(fl_s[:] == FLUID, 1.0, 0.0)
+    fluid = fluidf > 0.5
+
+    zz, yy, xx = _iotas(src.shape, z0, y0)
+    cx = xx.astype(F32) + 0.5
+    cy = yy.astype(F32) + 0.5
+    cz = zz.astype(F32) + 0.5
+
+    def bz3(a):
+        return _border_zero3(a, z0, y0, d, h, w)
+
+    # ---- scalar pipeline (== _advect_scalar3_kernel) ----
+    cu = bz3(0.5 * (u + _shift3(u, 0, 0, 1)))
+    cv = bz3(0.5 * (v + _shift3(v, 0, 1, 0)))
+    cw = bz3(0.5 * (wz_ + _shift3(wz_, 1, 0, 0)))
+
+    def back_pos(sdt):
+        if line_trace:
+            dxv = jnp.clip(-sdt * cu, -D, D)
+            dyv = jnp.clip(-sdt * cv, -D, D)
+            dzv = jnp.clip(-sdt * cw, -D, D)
+            return _line_trace_tile3(
+                cx, cy, cz, dxv, dyv, dzv, 1.0 - fluidf, D, z0, y0, d, h, w
+            )
+        return cx - sdt * cu, cy - sdt * cv, cz - sdt * cw
+
+    def sl(field, pos):
+        val = _interpol_window3_tile(
+            field, pos[0], pos[1], pos[2], D, z0, y0, d, h, w,
+        )
+        return jnp.where(fluid, val, field)
+
+    fwd_pos = back_pos(dt)
+    s_fwd = bz3(sl(src, fwd_pos))
+    s_bwd = bz3(sl(s_fwd, back_pos(-dt)))
+    s_dst = jnp.where(fluid, s_fwd + strength * 0.5 * (src - s_bwd), s_fwd)
+    px = jnp.where(fluid, fwd_pos[0], cx)
+    py = jnp.where(fluid, fwd_pos[1], cy)
+    pz = jnp.where(fluid, fwd_pos[2], cz)
+    ok, minv, maxv = _clamp_bounds3_tile(
+        src, fluidf, px, py, pz, D, z0, y0, d, h, w
+    )
+    s_cl = jnp.where(ok, jnp.maximum(minv, jnp.minimum(maxv, s_dst)), s_fwd)
+    interior = (
+        (zz >= 1) & (zz <= d - 2)
+        & (yy >= 1) & (yy <= h - 2)
+        & (xx >= 1) & (xx <= w - 2)
+    )
+    s_out = jnp.where(interior, s_cl, s_dst)
+
+    # ---- velocity pipeline (== _advect_vel3_kernel) ----
+    mac = [
+        (
+            bz3(u),
+            bz3(0.25 * (v + _shift3(v, 0, 0, -1) + _shift3(v, 0, 1, 0)
+                        + _shift3(v, 0, 1, -1))),
+            bz3(0.25 * (wz_ + _shift3(wz_, 0, 0, -1) + _shift3(wz_, 1, 0, 0)
+                        + _shift3(wz_, 1, 0, -1))),
+        ),
+        (
+            bz3(0.25 * (u + _shift3(u, 0, -1, 0) + _shift3(u, 0, 0, 1)
+                        + _shift3(u, 0, -1, 1))),
+            bz3(v),
+            bz3(0.25 * (wz_ + _shift3(wz_, 0, -1, 0) + _shift3(wz_, 1, 0, 0)
+                        + _shift3(wz_, 1, -1, 0))),
+        ),
+        (
+            bz3(0.25 * (u + _shift3(u, -1, 0, 0) + _shift3(u, 0, 0, 1)
+                        + _shift3(u, -1, 0, 1))),
+            bz3(0.25 * (v + _shift3(v, -1, 0, 0) + _shift3(v, 0, 1, 0)
+                        + _shift3(v, -1, 1, 0))),
+            bz3(wz_),
+        ),
+    ]
+
+    comps = (u, v, wz_)
+    axes = ((0, 0, 1), (0, 1, 0), (1, 0, 0))
+    outs = []
+    for c in range(3):
+        mu, mv, mw = mac[c]
+
+        def sample(field, sdt):
+            val = _interpol_window3_tile(
+                field, cx - sdt * mu, cy - sdt * mv, cz - sdt * mw,
+                D, z0, y0, d, h, w,
+            )
+            return jnp.where(fluid, val, field)
+
+        fwd = bz3(sample(comps[c], dt))
+        bwd = bz3(sample(fwd, -dt))
+
+        ndz, ndy, ndx = axes[c]
+        fm = _shift3(fluidf, -ndz, -ndy, -ndx) > 0.5
+        idx = (xx, yy, zz)[c]
+        skip = (~fluid) | ((idx > 0) & (~fm))
+        dst = jnp.where(
+            skip, fwd, fwd + strength * 0.5 * (comps[c] - bwd)
+        )
+        out = _clamp_mac3_tile(
+            dst, comps[c], mu * dt, mv * dt, mw * dt, D, z0, y0, d, h, w
+        )
+        outs.append(bz3(out))
+
+    out_rho_ref[0] = s_out[halo:halo + block_z, halo:halo + block_y]
+    out_u_ref[0] = outs[0][halo:halo + block_z, halo:halo + block_y]
+    out_v_ref[0] = outs[1][halo:halo + block_z, halo:halo + block_y]
+    out_w_ref[0] = outs[2][halo:halo + block_z, halo:halo + block_y]
+
+
+def advect_all3_pallas(
+    dt, src, U, flags, maccormack_strength: float = 0.75,
+    max_disp: int = 2, block_z: int = 8, block_y: int = 32,
+    interpret: bool = False, line_trace: bool = False,
+):
+    """Scalar + MAC velocity 3-D advection fused in one pallas_call.
+
+    == (advect_scalar3_pallas(...), advect_velocity3_pallas(...)) — both
+    pipelines consume the same pre-advection U, exactly as the 3-D step
+    does. Returns (rho', U')."""
+    b, d, h, w = src.shape
+    assert d % block_z == 0, (d, block_z)
+    assert h % block_y == 0, (h, block_y)
+    halo = -(-(max_disp + 2) // 8) * 8
+    ext_z = block_z + 2 * halo
+    ext_y = block_y + 2 * halo
+
+    pad = ((0, 0), (halo, halo), (halo, halo), (0, 0))
+    args = (
+        jnp.pad(src, pad),
+        jnp.pad(U[:, 0], pad),
+        jnp.pad(U[:, 1], pad),
+        jnp.pad(U[:, 2], pad),
+        jnp.pad(flags, pad),
+    )
+
+    kernel = partial(
+        _advect_all3_kernel,
+        D=max_disp, dt=float(dt), strength=float(maccormack_strength),
+        block_z=block_z, block_y=block_y, halo=halo, d=d, h=h, w=w,
+        line_trace=bool(line_trace),
+    )
+    out_spec = pl.BlockSpec(
+        (1, block_z, block_y, w), lambda bi, zb, yb: (bi, zb, yb, 0)
+    )
+    grid_spec = pl.GridSpec(
+        grid=(b, d // block_z, h // block_y),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((ext_z, ext_y, w), F32),
+            pltpu.VMEM((ext_z, ext_y, w), F32),
+            pltpu.VMEM((ext_z, ext_y, w), F32),
+            pltpu.VMEM((ext_z, ext_y, w), F32),
+            pltpu.VMEM((ext_z, ext_y, w), I32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    rho, ou, ov, ow = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, d, h, w), F32)] * 4,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+    return rho, jnp.stack([ou, ov, ow], axis=1)
+
+
 def _clamp_mac3_tile(dst, orig, vx, vy, vz, D, z0, y0, d, h, w):
     """3-D Selle corner clamp (matches window3.clamp_component_mac_window3):
     min/max of ``orig`` over the trilinear corners of the two integer

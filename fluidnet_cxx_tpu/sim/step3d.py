@@ -123,7 +123,24 @@ def simulate_step3(
     else:
         orig = None
 
-    if cfg.advect_density:
+    merged = pallas_ok and cfg.fuse_advection and cfg.advect_density
+    if merged:
+        # Scalar + 3-component velocity advection as ONE kernel (the
+        # merged 2-D kernel's rationale: u/v/w/flags tiles DMA once).
+        from ..ops.pallas.advect3_pallas import advect_all3_pallas
+
+        rho_adv, U_new = advect_all3_pallas(
+            cfg.dt, rho, U, flags,
+            maccormack_strength=cfg.maccormack_strength,
+            max_disp=min(cfg.max_disp, 2),
+            line_trace=cfg.line_trace,
+        )
+        if cfg.correct_scalar:
+            div0 = ops3d.velocity_divergence3(U, flags)
+            rho_adv = ops3d.correct_scalar3(dt, rho_adv, div0, flags)
+        rho = rho_adv
+
+    if cfg.advect_density and not merged:
         if pallas_ok:
             from ..ops.pallas.advect3_pallas import advect_scalar3_pallas
 
@@ -146,7 +163,9 @@ def simulate_step3(
         if cfg.correct_scalar:
             div0 = ops3d.velocity_divergence3(U, flags)
             rho = ops3d.correct_scalar3(dt, rho, div0, flags)
-    if pallas_ok:
+    if merged:
+        U = U_new
+    elif pallas_ok:
         from ..ops.pallas.advect3_pallas import advect_velocity3_pallas
 
         U = advect_velocity3_pallas(

@@ -107,10 +107,12 @@ def test_advect_all_pallas_matches_separate_kernels(rng):
                 0.3, U, flags, 0.6, max_disp=2, block=16,
                 interpret=True, orig=og,
             )
-            np.testing.assert_array_equal(np.asarray(r_got),
-                                          np.asarray(r_want))
-            np.testing.assert_array_equal(np.asarray(U_got),
-                                          np.asarray(U_want))
+            # XLA may reassociate float ops differently in the larger
+            # fused graph — identical maths, last-ulp differences.
+            np.testing.assert_allclose(np.asarray(r_got),
+                                       np.asarray(r_want), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(U_got),
+                                       np.asarray(U_want), atol=1e-6)
 
 
 def test_advect_scalar_pallas_line_trace_matches_window(rng):
@@ -214,6 +216,39 @@ def test_advect_scalar3_pallas_matches_window(rng):
         0.8, rho, U, flags, 0.6, max_disp=2, block_z=8, block_y=16,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_advect_all3_pallas_matches_separate_kernels(rng):
+    """The merged 3-D scalar+velocity kernel == running the two standalone
+    kernels (interpret mode; max_disp=1 keeps the unrolled windows small —
+    the kernels are parameterised only by D)."""
+    from fluidnet_cxx_tpu.ops.pallas.advect3_pallas import (
+        advect_all3_pallas,
+        advect_scalar3_pallas,
+        advect_velocity3_pallas,
+    )
+
+    flags = _random_flags3(rng, 1, 8, 32, 16, p_obstacle=0.08)
+    U = np.clip(1.0 * rng.standard_normal((1, 3, 8, 32, 16)), -1, 1
+                ).astype(np.float32)
+    rho = rng.random((1, 8, 32, 16)).astype(np.float32)
+    r_got, U_got = advect_all3_pallas(
+        0.8, rho, U, flags, 0.6, max_disp=1, block_z=8, block_y=16,
+        interpret=True, line_trace=False,
+    )
+    r_want = advect_scalar3_pallas(
+        0.8, rho, U, flags, 0.6, max_disp=1, block_z=8, block_y=16,
+        interpret=True, line_trace=False,
+    )
+    U_want = advect_velocity3_pallas(
+        0.8, U, flags, 0.6, max_disp=1, block_z=8, block_y=16,
+        interpret=True,
+    )
+    # XLA may reassociate float ops differently in the larger fused graph.
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
+                               atol=1e-6)
 
 
 def test_advect_scalar3_pallas_line_trace_matches_window(rng):
