@@ -172,6 +172,36 @@ def test_step_pallas_fast_path_matches_xla(monkeypatch):
     )
 
 
+def test_step_merged_advection_matches_separate(monkeypatch):
+    """simulate_step with fuse_advection=True == the two-kernel fast path
+    (interpret mode) — validates the step-level wiring of
+    advect_all_pallas, including correct_scalar ordering."""
+    from jax.experimental import pallas as pl
+
+    from fluidnet_cxx_tpu.sim import create_plume_scene, plume_config, simulate_step
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    state = create_plume_scene(128, 128, density_val=0.1, u_scale=2.0,
+                               rad=0.145)
+    base = plume_config(jacobi_iter=8, use_pallas=True, line_trace=True,
+                        correct_scalar=True)
+    s_two = simulate_step(base.replace(fuse_advection=False), state)
+    s_one = simulate_step(base.replace(fuse_advection=True), state)
+    np.testing.assert_allclose(
+        np.asarray(s_one.U), np.asarray(s_two.U), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_one.density), np.asarray(s_two.density), atol=1e-5
+    )
+
+
 def test_jacobi_pallas_warm_start_matches_xla(rng, monkeypatch):
     """p0 warm start (the learned-projection polish path) == XLA p0 path."""
     from jax.experimental import pallas as pl
