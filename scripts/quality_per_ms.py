@@ -174,7 +174,10 @@ def main():
     state0 = create_plume_scene(
         res, res, density_val=0.1, u_scale=2.0 * res / 128.0, rad=0.145
     )
-    fast = dict(use_pallas=jax.default_backend() != "cpu", line_trace=False)
+    # trace on = reference advection semantics (matches bench.py's default;
+    # QPM_LINE_TRACE=0 reproduces the round-2 trace-off tables)
+    fast = dict(use_pallas=jax.default_backend() != "cpu",
+                line_trace=os.environ.get("QPM_LINE_TRACE", "1") == "1")
 
     results = []
     for n in [int(x) for x in args.jacobi.split(",") if x]:
