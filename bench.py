@@ -187,17 +187,29 @@ def run_case(name, res, cfg_kw, project=None, rollout=300, stat=100,
     return rec
 
 
-def projection_mfu(model, params, res, n=50):
+def projection_mfu(model, params, res, n=50, project=None):
+    """FLOPs and marginal time of the projection forward. ``project``
+    (when given) is the SHIPPING projection callable — e.g. the fused
+    Pallas forward — so proj_ms/proj_mfu describe the path the headline
+    steps/s actually runs; FLOPs are counted on the flax forward (same
+    maths)."""
     p = jnp.zeros((1, res, res), jnp.float32)
     U = jnp.ones((1, 2, res, res), jnp.float32)
     flags = jnp.ones((1, res, res), jnp.int32)
     rho = jnp.zeros((1, res, res), jnp.float32)
 
-    def fwd(p, U):
+    def flax_fwd(p, U):
         return model.apply(params, p, U, flags, rho)
 
+    def fwd(p, U):
+        if project is not None:
+            return project(p, U, flags, rho)
+        return flax_fwd(p, U)
+
     try:
-        comp = jax.jit(fwd).lower(p, U).compile()
+        # FLOPs always from the flax lowering — XLA's cost model does not
+        # see inside pallas_call, so the fused path would count ~0.
+        comp = jax.jit(flax_fwd).lower(p, U).compile()
         flops = float(comp.cost_analysis()["flops"])
     except Exception:
         flops = 0.0
@@ -251,9 +263,12 @@ def main():
                             rollout=rollout)
         tables[res] = t
 
-    model, params, _, _ = load_flagship(512)
-    mfu, flops, t_proj = projection_mfu(model, params, 512)
-    log(f"projection forward: {1e3 * t_proj:.3f} ms, {flops / 1e9:.2f} "
+    model, params, project, info = load_flagship(512)
+    shipping = project if "fused-forward" in info else None
+    mfu, flops, t_proj = projection_mfu(model, params, 512,
+                                        project=shipping)
+    log(f"projection forward ({'fused' if shipping else 'flax'}): "
+        f"{1e3 * t_proj:.3f} ms, {flops / 1e9:.2f} "
         f"GFLOP -> MFU {100 * mfu:.1f}% of v5e bf16 peak")
 
     cpu_sps = float(os.environ.get("BENCH_CPU_REF_SPS", "0.583"))
