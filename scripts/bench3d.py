@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--jacobiIter", type=int, default=60)
     ap.add_argument("--dt", type=float, default=0.25)
     ap.add_argument("--modelDir", default=None)
+    ap.add_argument("--fuseAdvection", action="store_true",
+                    help="merged scalar+velocity Pallas kernel "
+                         "(advect_all3_pallas)")
+    ap.add_argument("--lineTrace", action="store_true",
+                    help="first-hit obstacle trace in the fused kernels")
     args = ap.parse_args()
 
     from fluidnet_cxx_tpu.sim import plume_config
@@ -77,7 +82,8 @@ def main():
         cfg = plume_config(
             dt=args.dt, jacobi_iter=args.jacobiIter,
             buoyancy_scale=0.5, gravity_vec=(0.0, -1.0, 0.0),
-            line_trace=False, max_disp=2, **kw,
+            line_trace=args.lineTrace, max_disp=2,
+            fuse_advection=args.fuseAdvection, **kw,
         )
         sps, s = time_steps(lambda st: simulate_step3(cfg, st), state,
                             args.steps)
@@ -109,8 +115,9 @@ def main():
         project = make_project_fn3(model, ts.params)
         cfg = plume_config(
             dt=args.dt, sim_method="convnet", buoyancy_scale=0.5,
-            gravity_vec=(0.0, -1.0, 0.0), line_trace=False, max_disp=2,
-            advection_impl="window", use_pallas=True,
+            gravity_vec=(0.0, -1.0, 0.0), line_trace=args.lineTrace,
+            max_disp=2, advection_impl="window", use_pallas=True,
+            fuse_advection=args.fuseAdvection,
         )
         sps, s = time_steps(
             lambda st: simulate_step3(cfg, st, project_fn=project),
