@@ -107,6 +107,17 @@ class FluidNet3(nn.Module):
             dtype=self.cfg.compute_dtype,
         )(x, deterministic=deterministic)[..., 0]
 
+        if self.cfg.polish_sweeps > 0 and self.cfg.polish_impl == "fused":
+            # Whole tail (RHS + polish + velocity update + wall BCs) in one
+            # VMEM-resident kernel on UNNORMALISED fields — the tail is
+            # linear in (p, U), so the normalise/un-normalise sandwich
+            # commutes (same argument as the 2-D proj_tail_pallas).
+            from ..ops.pallas.proj_tail3_pallas import project_tail3_pallas
+
+            return project_tail3_pallas(
+                flags, U, p_hat * s4, self.cfg.polish_sweeps,
+                damping=self.cfg.polish_damping,
+            )
         if self.cfg.polish_sweeps > 0:
             if self.cfg.polish_impl == "pallas":
                 from ..ops.pallas.jacobi3_pallas import solve_jacobi3_pallas

@@ -248,6 +248,73 @@ def test_advect_scalar3_pallas_matches_window(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_project_tail3_pallas_matches_chain(rng):
+    """Fused 3-D projection tail == the unfused XLA chain
+    (divergence3 -> warm damped Jacobi -> velocity_update3 ->
+    set_wall_bcs3), interpret mode."""
+    from fluidnet_cxx_tpu.ops import ops3d
+    from fluidnet_cxx_tpu.ops.pallas.proj_tail3_pallas import (
+        project_tail3_pallas,
+    )
+
+    flags = _random_flags3(rng, 2, 8, 16, 16, p_obstacle=0.1)
+    U = np.clip(rng.standard_normal((2, 3, 8, 16, 16)), -2, 2
+                ).astype(np.float32)
+    p0 = rng.standard_normal((2, 8, 16, 16)).astype(np.float32)
+
+    p_got, U_got = project_tail3_pallas(flags, U, p0, iters=9,
+                                        damping=6.0 / 7.0, interpret=True)
+    div = ops3d.velocity_divergence3(U, flags)
+    p_want = ops3d.solve_jacobi_fixed3(flags, div, 9, p0=p0,
+                                       damping=6.0 / 7.0)
+    U_want = ops3d.set_wall_bcs3(
+        ops3d.velocity_update3(p_want, U, flags), flags
+    )
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
+                               atol=2e-5)
+
+
+def test_punet3_fused_tail_matches_pallas_polish(rng, monkeypatch):
+    """FluidNet3 with polish_impl='fused' == polish_impl='pallas' (the
+    separate polish kernel + XLA update/BC chain), interpret mode."""
+    from jax.experimental import pallas as pl
+
+    from fluidnet_cxx_tpu.config import ModelConfig
+    from fluidnet_cxx_tpu.models.punet3d import FluidNet3, init_params3
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    import dataclasses
+
+    base = ModelConfig(model="PUNet3", polish_sweeps=6,
+                       polish_damping=6.0 / 7.0, punet_patch=4,
+                       punet_widths=(16, 16))
+    flags = _random_flags3(rng, 1, 16, 16, 16, p_obstacle=0.08)
+    U = np.clip(rng.standard_normal((1, 3, 16, 16, 16)), -2, 2
+                ).astype(np.float32)
+    p = np.zeros((1, 16, 16, 16), np.float32)
+    rho = rng.random((1, 16, 16, 16)).astype(np.float32)
+
+    outs = {}
+    for impl in ("pallas", "fused"):
+        cfg = dataclasses.replace(base, polish_impl=impl)
+        model = FluidNet3(cfg)
+        params = init_params3(model, jax.random.PRNGKey(0), 16, 16, 16)
+        outs[impl] = model.apply(params, p, U, flags, rho)
+    np.testing.assert_allclose(np.asarray(outs["fused"][0]),
+                               np.asarray(outs["pallas"][0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs["fused"][1]),
+                               np.asarray(outs["pallas"][1]), atol=2e-5)
+
+
 def test_advect_all3_pallas_matches_separate_kernels(rng):
     """The merged 3-D scalar+velocity kernel == running the two standalone
     kernels (interpret mode; max_disp=1 keeps the unrolled windows small —
