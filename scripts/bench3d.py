@@ -105,7 +105,12 @@ def main():
         from fluidnet_cxx_tpu.train.trainer import TrainState
         import optax
 
+        import dataclasses
+
         mcfg = load_model_config(args.modelDir)
+        if jax.default_backend() != "cpu" and mcfg.polish_sweeps > 0:
+            # whole projection tail in one kernel (proj_tail3_pallas)
+            mcfg = dataclasses.replace(mcfg, polish_impl="fused")
         model = FluidNet3(mcfg)
         params = init_params3(model, jax.random.PRNGKey(0), 16, 16, 16)
         opt = optax.adam(1e-4)
