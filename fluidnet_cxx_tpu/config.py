@@ -185,6 +185,9 @@ def sim_config_from_mconf(mconf: Dict[str, Any]) -> SimConfig:
         ),
         vorticity_confinement=float(_g(mconf, "vorticityConfinement", 0.0)),
         sim_method=str(_g(mconf, "simMethod", "jacobi")),
+        fuse_advection=bool(
+            _g(mconf, "fuseAdvection", SimConfig.fuse_advection)
+        ),
     )
 
 
