@@ -115,6 +115,39 @@ def test_advect_all_pallas_matches_separate_kernels(rng):
                                        np.asarray(U_want), atol=1e-6)
 
 
+def test_advect_all_pallas_column_tiled_matches_separate(rng):
+    """Merged kernel on a WIDE grid (w > 1024 engages the 512-lane column
+    tiling with a 128-lane halo) == the standalone kernels — the merged
+    kernel carries its own copy of the tile DMA/indexing, so the narrow
+    test alone would not catch a column-tiling slip."""
+    from fluidnet_cxx_tpu.ops.pallas.advect_pallas import (
+        _pick_cols,
+        advect_all_pallas,
+        advect_scalar_pallas,
+        advect_velocity_pallas,
+    )
+
+    w = 1152
+    assert _pick_cols(w)[1] > 0  # wide plan engaged
+    flags = random_flags(rng, 1, 16, w, p_obstacle=0.05)
+    U = np.clip(rng.standard_normal((1, 2, 16, w)), -1, 1
+                ).astype(np.float32)
+    rho = rng.random((1, 16, w)).astype(np.float32)
+    r_got, U_got = advect_all_pallas(
+        0.3, rho, U, flags, 0.6, max_disp=1, block=16, interpret=True,
+    )
+    r_want = advect_scalar_pallas(
+        0.3, rho, U, flags, 0.6, max_disp=1, block=16, interpret=True,
+    )
+    U_want = advect_velocity_pallas(
+        0.3, U, flags, 0.6, max_disp=1, block=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
+                               atol=1e-6)
+
+
 def test_advect_scalar_pallas_line_trace_matches_window(rng):
     """Fused scalar advection WITH the first-hit obstacle trace == the XLA
     window path running the same formulation (interpret mode). This is the
