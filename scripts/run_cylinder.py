@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="fused Pallas kernels where eligible")
     ap.add_argument("--simMethod", default="jacobi",
-                    choices=["jacobi", "convnet"])
+                    choices=["jacobi", "convnet", "multigrid"])
     ap.add_argument("--modelDir", default="trained_models/PUNetD2_128",
                     help="checkpoint for --simMethod convnet")
     args = ap.parse_args()
@@ -52,6 +52,8 @@ def main():
         inlet_vel=args.inletVel, reynolds=args.re,
     )
     cfg = cylinder_config(viscosity, jacobi_iter=args.jacobiIter)
+    if args.simMethod == "multigrid":
+        cfg = cfg.replace(sim_method="multigrid")
     if args.fast:
         cfg = cfg.replace(use_pallas=True)
     project = None
