@@ -235,6 +235,42 @@ def test_step_merged_advection_matches_separate(monkeypatch):
     )
 
 
+def test_step_merged_advection_viscous_cylinder(monkeypatch):
+    """Merged advection through the viscous stick-BC cylinder step — the
+    separate-orig (viscous field) path of the step wiring (interpret)."""
+    from jax.experimental import pallas as pl
+
+    from fluidnet_cxx_tpu.sim import (
+        create_cylinder_scene,
+        cylinder_config,
+        simulate_step,
+    )
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    state, nu = create_cylinder_scene(res_x=192, res_y=64, center_x=48,
+                                      center_y=32, radius=7.5,
+                                      inlet_vel=1.0, reynolds=100.0)
+    # advect_density=True so the merge gate engages (the reference cylinder
+    # batch has no density, but the merged kernel must still be exact when
+    # a scalar rides along a viscous velocity field)
+    base = cylinder_config(nu, jacobi_iter=6).replace(
+        use_pallas=True, advect_density=True
+    )
+    assert base.viscosity > 0
+    s_two = simulate_step(base.replace(fuse_advection=False), state)
+    s_one = simulate_step(base.replace(fuse_advection=True), state)
+    np.testing.assert_allclose(
+        np.asarray(s_one.U), np.asarray(s_two.U), atol=1e-5
+    )
+
+
 def test_jacobi_pallas_warm_start_matches_xla(rng, monkeypatch):
     """p0 warm start (the learned-projection polish path) == XLA p0 path."""
     from jax.experimental import pallas as pl
