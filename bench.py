@@ -249,8 +249,41 @@ def projection_mfu(model, params, res, n=50, project=None):
     return mfu, flops, t_step
 
 
+def _await_tunnel(max_wait_s: int = 1200) -> bool:
+    """The axon claim port (127.0.0.1:8082) can be down for hours, and
+    jax.devices() then BLOCKS instead of raising (observed 2026-08-17/18).
+    Wait boundedly for it; returns False if it never opened (only when the
+    axon backend is the selected platform — CPU runs skip the probe)."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    import socket
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    while _t.time() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+                return True
+        except OSError:
+            log("axon claim port closed; waiting for the tunnel ...")
+            _t.sleep(20)
+    return False
+
+
 def main():
     n_512 = int(os.environ.get("BENCH_STEPS", "300"))
+    if not _await_tunnel():
+        # Emit an explicit artifact rather than hanging the driver.
+        print(json.dumps({
+            "metric": "plume_512_cnn_steps_per_sec",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "error": "axon TPU tunnel down (claim port 127.0.0.1:8082 "
+                     "closed for >20 min); see RESULTS.md for the last "
+                     "measured artifact (2026-08-17 15:36)",
+        }))
+        return
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
