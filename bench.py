@@ -156,10 +156,15 @@ def run_case(name, res, cfg_kw, project=None, rollout=300, stat=100,
     ch = chunk_fn(stat)
     s = state0
     means, maxs, height = [], [], 0
-    for _ in range(rollout // stat):
+    for _ in range(max(rollout // stat, 1)):
         s, m, mx, height = ch(s)
         means.append(float(m))
         maxs.append(float(mx))
+    # stats skip the first (startup-transient) chunk when there is more
+    # than one — a single-chunk run (small BENCH_STEPS) keeps it rather
+    # than reducing over an empty slice
+    m_stats = means[1:] if len(means) > 1 else means
+    x_stats = maxs[1:] if len(maxs) > 1 else maxs
 
     run_a, run_b = chunk_fn(n_time), chunk_fn(4 * n_time)
     s1 = run_a(s)[0]
@@ -185,8 +190,8 @@ def run_case(name, res, cfg_kw, project=None, rollout=300, stat=100,
     rec = {
         "sps": round(sps, 1),
         "sps_spread": round(spread, 3),
-        "mean_div": round(float(np.mean(means[1:])), 6),
-        "max_div": round(float(np.max(maxs[1:])), 5),
+        "mean_div": round(float(np.mean(m_stats)), 6),
+        "max_div": round(float(np.max(x_stats)), 5),
         "height": int(height),
     }
     log(f"{res}^2 {name:14s} {sps:8.1f} steps/s (spread {spread:.1%})  "
@@ -287,38 +292,55 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
+    def safe(fn, *a, **kw):
+        """One failing case (e.g. a kernel that will not compile on this
+        hardware) must degrade to an error ROW, never destroy the whole
+        artifact — the JSON line always prints."""
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — diagnostics row
+            log(f"case failed: {type(e).__name__}: {e}")
+            return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+
     tables = {}
     infos = {}
+    flagship = {}
     for res in (512, 128):
         model, params, project, info = load_flagship(res)
         infos[res] = info
+        flagship[res] = (model, params, project, info)
         rollout = n_512 if res == 512 else 400
         t = {}
-        t["cnn"] = run_case("cnn", res, dict(sim_method="convnet"),
-                            project=project, rollout=rollout)
+        t["cnn"] = safe(run_case, "cnn", res, dict(sim_method="convnet"),
+                        project=project, rollout=rollout)
         for ji in (28, 100, 200):
-            t[f"jacobi{ji}"] = run_case(
-                f"jacobi-{ji}", res, dict(jacobi_iter=ji), rollout=rollout)
-        t["mg2"] = run_case("mg-2v", res,
-                            dict(sim_method="multigrid", mg_vcycles=2),
-                            rollout=rollout)
+            t[f"jacobi{ji}"] = safe(
+                run_case, f"jacobi-{ji}", res, dict(jacobi_iter=ji),
+                rollout=rollout)
+        t["mg2"] = safe(run_case, "mg-2v", res,
+                        dict(sim_method="multigrid", mg_vcycles=2),
+                        rollout=rollout)
         tables[res] = t
 
-    model, params, project, info = load_flagship(512)
+    model, params, project, info = flagship[512]
     shipping = project if "fused-forward" in info else None
-    mfu, flops, t_proj = projection_mfu(model, params, 512,
-                                        project=shipping)
-    log(f"projection forward ({'fused' if shipping else 'flax'}): "
-        f"{1e3 * t_proj:.3f} ms, {flops / 1e9:.2f} "
-        f"GFLOP -> MFU {100 * mfu:.1f}% of v5e bf16 peak")
+    try:
+        mfu, flops, t_proj = projection_mfu(model, params, 512,
+                                            project=shipping)
+        log(f"projection forward ({'fused' if shipping else 'flax'}): "
+            f"{1e3 * t_proj:.3f} ms, {flops / 1e9:.2f} "
+            f"GFLOP -> MFU {100 * mfu:.1f}% of v5e bf16 peak")
+    except Exception as e:  # noqa: BLE001 — diagnostics only
+        log(f"projection MFU measurement failed: {e}")
+        mfu, t_proj = 0.0, 0.0
 
     cpu_sps = float(os.environ.get("BENCH_CPU_REF_SPS", "0.583"))
-    sps = tables[512]["cnn"]["sps"]
+    sps = tables[512]["cnn"].get("sps", 0.0)
     out = {
         "metric": "plume_512_cnn_steps_per_sec",
         "value": sps,
         "unit": "steps/s",
-        "vs_baseline": round(sps / (50.0 * cpu_sps), 3),
+        "vs_baseline": round(sps / (50.0 * cpu_sps), 3) if cpu_sps else None,
         "model": infos[512],
         "line_trace": os.environ.get("BENCH_LINE_TRACE", "1") == "1",
         "proj_ms": round(1e3 * t_proj, 4),

@@ -122,7 +122,10 @@ def simulate_step3(
         # silently got the XLA engine in round 2 (VERDICT r2 weak #4)
         from .step import _warn_pallas_deferred
 
-        _warn_pallas_deferred(h, w)
+        _warn_pallas_deferred(
+            f"{d}x{h}x{w}",
+            "needs d % 8 == 0, h % 32 == 0 and w % 128 == 0", "3d",
+        )
 
     # Viscosity: the viscous field is advected by the (non-divergent) U
     # from the previous step (2-D twin: simulate.py:66-93).

@@ -44,9 +44,14 @@ def truth_error(cfg, s, project=None, truth_vcycles=30):
     from fluidnet_cxx_tpu import ops
     from fluidnet_cxx_tpu.ops.multigrid import solve_mg
     from fluidnet_cxx_tpu.sim import simulate_step
+    from fluidnet_cxx_tpu.sim.step import _wall_bcs, apply_const_vals
 
     s_div = simulate_step(cfg, s, project_fn=project, output_div=True)
-    U = ops.set_wall_bcs(s_div.U, s_div.flags)
+    # Reproduce the step's own pre-projection block for THIS sim method
+    # (convnet mode skips set_wall_bcs; inlet/const BCs are re-imposed in
+    # every mode) so the scored operator sees exactly its in-loop input.
+    U = _wall_bcs(cfg, s_div, s_div.U)
+    U, _ = apply_const_vals(s_div, U, s_div.density)
     flags = s_div.flags
     div = ops.velocity_divergence(U, flags)
     p_truth = solve_mg(flags, div, n_vcycles=truth_vcycles)
@@ -65,6 +70,12 @@ def truth_error(cfg, s, project=None, truth_vcycles=30):
 
     fl = (flags == 1).astype(np.float32)
     n = np.sum(fl)
+    # div stats over non-BC-clamped fluid cells only: the re-imposed inlet
+    # velocities carry structural divergence no projection can remove (the
+    # step re-pins them after every projection) — same mask as bench.py
+    dm = np.asarray(
+        (flags == 1) & (s_div.U_bc_inv_mask[:, 1] > 0.5)
+    ).astype(np.float32)
 
     def centred(p):
         p = np.asarray(p) * np.asarray(fl)
@@ -73,9 +84,9 @@ def truth_error(cfg, s, project=None, truth_vcycles=30):
     pt, pc = centred(p_truth), centred(p_case)
     p_err = float(np.linalg.norm(pc - pt) / max(np.linalg.norm(pt), 1e-30))
     dmax_case = float(np.abs(
-        np.asarray(ops.velocity_divergence(U_case, flags))).max())
+        np.asarray(ops.velocity_divergence(U_case, flags)) * dm).max())
     dmax_truth = float(np.abs(
-        np.asarray(ops.velocity_divergence(U_truth, flags))).max())
+        np.asarray(ops.velocity_divergence(U_truth, flags)) * dm).max())
     return dict(p_err_vs_truth=round(p_err, 5),
                 max_div_one_shot=round(dmax_case, 6),
                 max_div_truth=round(dmax_truth, 8))
