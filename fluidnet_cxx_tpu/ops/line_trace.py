@@ -109,6 +109,40 @@ def _ray_box_intersection(origin, direction, ctr, mask):
     return hit, coord
 
 
+_INF = 3e38  # f32-representable infinity for slab tests
+
+
+def firsthit_axis_slabs(p0, d, lo, hi):
+    """Per-axis slab entry/exit parameters of a ray p0 + t*d against
+    [lo, hi]. Shared by every first-hit trace (2-D/3-D, XLA window and
+    Pallas tile forms) — a change here changes them all in lockstep."""
+    INF = jnp.float32(_INF)
+    ok = jnp.abs(d) > EPSILON
+    inv = 1.0 / jnp.where(ok, d, 1.0)
+    t1 = (lo - p0) * inv
+    t2 = (hi - p0) * inv
+    inside = (p0 >= lo) & (p0 <= hi)
+    t_lo = jnp.where(ok, jnp.minimum(t1, t2),
+                     jnp.where(inside, -INF, INF))
+    t_hi = jnp.where(ok, jnp.maximum(t1, t2),
+                     jnp.where(inside, INF, -INF))
+    return t_lo, t_hi
+
+
+def firsthit_border_t(p0, d, dim):
+    """First non-negative t at which the coordinate reaches the domain's
+    HIT_MARGIN / dim-HIT_MARGIN planes moving outward
+    (ref: calc_line_trace.cpp:175-257). Shared like firsthit_axis_slabs."""
+    INF = jnp.float32(_INF)
+    ok = jnp.abs(d) > EPSILON
+    inv = 1.0 / jnp.where(ok, d, 1.0)
+    t1 = (HIT_MARGIN - p0) * inv
+    t2 = (dim - HIT_MARGIN - p0) * inv
+    t1 = jnp.where(ok & (t1 >= 0), t1, INF)
+    t2 = jnp.where(ok & (t2 >= 0), t2, INF)
+    return jnp.minimum(t1, t2)
+
+
 def line_trace_firsthit(pos, delta, flags, D: int = 4):
     """Continuous first-hit line trace, bounded-window form (TPU fast path).
 
@@ -138,31 +172,8 @@ def line_trace_firsthit(pos, delta, flags, D: int = 4):
     inv_len = 1.0 / jnp.maximum(length, EPSILON)
     dirx, diry = dx * inv_len, dy * inv_len
 
-    INF = jnp.float32(3e38)
-
-    def axis_slabs(p0, d, lo, hi):
-        ok = jnp.abs(d) > EPSILON
-        inv = 1.0 / jnp.where(ok, d, 1.0)
-        t1 = (lo - p0) * inv
-        t2 = (hi - p0) * inv
-        inside = (p0 >= lo) & (p0 <= hi)
-        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
-                         jnp.where(inside, -INF, INF))
-        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
-                         jnp.where(inside, INF, -INF))
-        return t_lo, t_hi
-
-    # Domain margin planes (ref: calc_line_trace.cpp:175-257): the first t
-    # at which a coordinate reaches HIT_MARGIN / dim-HIT_MARGIN moving
-    # outward.
-    def border_t(p0, d, dim):
-        ok = jnp.abs(d) > EPSILON
-        inv = 1.0 / jnp.where(ok, d, 1.0)
-        t1 = (HIT_MARGIN - p0) * inv
-        t2 = (dim - HIT_MARGIN - p0) * inv
-        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
-        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
-        return jnp.minimum(t1, t2)
+    axis_slabs = firsthit_axis_slabs
+    border_t = firsthit_border_t
 
     t_stop = jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h))
     t_stop = jnp.minimum(t_stop, length)

@@ -14,7 +14,12 @@ import jax.numpy as jnp
 
 from ..celltype import FLUID
 from .common import F32, I32
-from .line_trace import EPSILON, HIT_MARGIN
+from .line_trace import (
+    EPSILON,
+    HIT_MARGIN,
+    firsthit_axis_slabs,
+    firsthit_border_t,
+)
 
 
 def _is_out_of_domain3(pos, d, h, w):
@@ -222,28 +227,8 @@ def line_trace_firsthit3(pos, delta, flags, D: int = 2):
     can = (length > EPSILON) & (flags == FLUID)
     inv_len = 1.0 / jnp.maximum(length, EPSILON)
     dirx, diry, dirz = dx * inv_len, dy * inv_len, dz * inv_len
-    INF = jnp.float32(3e38)
-
-    def axis_slabs(p0, dc, lo, hi):
-        ok = jnp.abs(dc) > EPSILON
-        inv = 1.0 / jnp.where(ok, dc, 1.0)
-        t1 = (lo - p0) * inv
-        t2 = (hi - p0) * inv
-        inside = (p0 >= lo) & (p0 <= hi)
-        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
-                         jnp.where(inside, -INF, INF))
-        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
-                         jnp.where(inside, INF, -INF))
-        return t_lo, t_hi
-
-    def border_t(p0, dc, dim):
-        ok = jnp.abs(dc) > EPSILON
-        inv = 1.0 / jnp.where(ok, dc, 1.0)
-        t1 = (HIT_MARGIN - p0) * inv
-        t2 = (dim - HIT_MARGIN - p0) * inv
-        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
-        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
-        return jnp.minimum(t1, t2)
+    axis_slabs = firsthit_axis_slabs
+    border_t = firsthit_border_t
 
     t_stop = jnp.minimum(
         jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h)),

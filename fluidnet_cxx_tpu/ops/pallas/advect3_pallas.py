@@ -140,35 +140,20 @@ def _line_trace_tile3(px0, py0, pz0, dxv, dyv, dzv, blockedf, D, z0, y0,
     """Continuous first-hit obstacle trace on an extended (z, y)-tile —
     3-D twin of advect_pallas._line_trace_tile (same maths as
     line_trace3.line_trace_firsthit3)."""
-    from ..line_trace import EPSILON, HIT_MARGIN
+    from ..line_trace import (
+        EPSILON,
+        HIT_MARGIN,
+        firsthit_axis_slabs,
+        firsthit_border_t,
+    )
 
     zz, yy, xx = _iotas(px0.shape, z0, y0)
     length = jnp.sqrt(dxv * dxv + dyv * dyv + dzv * dzv)
     can = (length > EPSILON) & (blockedf < 0.5)
     inv_len = 1.0 / jnp.maximum(length, EPSILON)
     dirx, diry, dirz = dxv * inv_len, dyv * inv_len, dzv * inv_len
-    INF = jnp.float32(3e38)
-
-    def axis_slabs(p0, dc, lo, hi):
-        ok = jnp.abs(dc) > EPSILON
-        inv = 1.0 / jnp.where(ok, dc, 1.0)
-        t1 = (lo - p0) * inv
-        t2 = (hi - p0) * inv
-        inside = (p0 >= lo) & (p0 <= hi)
-        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
-                         jnp.where(inside, -INF, INF))
-        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
-                         jnp.where(inside, INF, -INF))
-        return t_lo, t_hi
-
-    def border_t(p0, dc, dim):
-        ok = jnp.abs(dc) > EPSILON
-        inv = 1.0 / jnp.where(ok, dc, 1.0)
-        t1 = (HIT_MARGIN - p0) * inv
-        t2 = (dim - HIT_MARGIN - p0) * inv
-        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
-        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
-        return jnp.minimum(t1, t2)
+    axis_slabs = firsthit_axis_slabs
+    border_t = firsthit_border_t
 
     t_stop = jnp.minimum(
         jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h)),

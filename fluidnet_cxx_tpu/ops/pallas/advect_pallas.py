@@ -376,7 +376,12 @@ def _line_trace_tile(px0, py0, dxv, dyv, blockedf, D, row0, col0, h, w):
     march-vs-first-hit semantics), with window lookups as static shifts.
     ``blockedf`` is the non-fluid mask as f32; positions/deltas are (th, tw)
     absolute coordinates. Returns the traced (x, y)."""
-    from ..line_trace import EPSILON, HIT_MARGIN
+    from ..line_trace import (
+        EPSILON,
+        HIT_MARGIN,
+        firsthit_axis_slabs,
+        firsthit_border_t,
+    )
 
     th, tw = px0.shape
     yy = jax.lax.broadcasted_iota(I32, (th, tw), 0) + row0
@@ -386,28 +391,8 @@ def _line_trace_tile(px0, py0, dxv, dyv, blockedf, D, row0, col0, h, w):
     can = (length > EPSILON) & (blockedf < 0.5)
     inv_len = 1.0 / jnp.maximum(length, EPSILON)
     dirx, diry = dxv * inv_len, dyv * inv_len
-    INF = jnp.float32(3e38)
-
-    def axis_slabs(p0, d, lo, hi):
-        ok = jnp.abs(d) > EPSILON
-        inv = 1.0 / jnp.where(ok, d, 1.0)
-        t1 = (lo - p0) * inv
-        t2 = (hi - p0) * inv
-        inside = (p0 >= lo) & (p0 <= hi)
-        t_lo = jnp.where(ok, jnp.minimum(t1, t2),
-                         jnp.where(inside, -INF, INF))
-        t_hi = jnp.where(ok, jnp.maximum(t1, t2),
-                         jnp.where(inside, INF, -INF))
-        return t_lo, t_hi
-
-    def border_t(p0, d, dim):
-        ok = jnp.abs(d) > EPSILON
-        inv = 1.0 / jnp.where(ok, d, 1.0)
-        t1 = (HIT_MARGIN - p0) * inv
-        t2 = (dim - HIT_MARGIN - p0) * inv
-        t1 = jnp.where(ok & (t1 >= 0), t1, INF)
-        t2 = jnp.where(ok & (t2 >= 0), t2, INF)
-        return jnp.minimum(t1, t2)
+    axis_slabs = firsthit_axis_slabs
+    border_t = firsthit_border_t
 
     t_stop = jnp.minimum(border_t(px0, dirx, w), border_t(py0, diry, h))
     t_stop = jnp.minimum(t_stop, length)
