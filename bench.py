@@ -40,8 +40,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _validate_project(project, res):
+    """Force ONE real on-device call so a Mosaic-rejected kernel fails
+    HERE (where the fallback can record it) rather than silently inside
+    the first timed case. Interpret-mode parity is not Mosaic validation
+    (r2's memref_slices lesson)."""
+    from fluidnet_cxx_tpu.ops.stencils import empty_domain
+
+    p = jnp.zeros((1, res, res), jnp.float32)
+    U = jnp.ones((1, 2, res, res), jnp.float32)
+    flags = empty_domain(1, res, res)  # realistic: obstacle border ring
+    rho = jnp.zeros((1, res, res), jnp.float32)
+    jax.block_until_ready(jax.jit(project)(p, U, flags, rho))
+
+
 def load_flagship(res):
-    """(model, params, project_fn, info) from the shipped checkpoint."""
+    """(model, params, project_fn, info, engine) from the shipped
+    checkpoint. ``engine`` names the projection path that ACTUALLY runs
+    (validated with one forced call), so a fail-soft can never
+    misattribute a headline number: the fused forward/tail degrade to the
+    round-2-validated flax + pallas-tail path, recorded in the artifact."""
     import dataclasses
 
     from fluidnet_cxx_tpu.config import ModelConfig
@@ -55,27 +73,33 @@ def load_flagship(res):
             load_train_checkpoint,
         )
 
-        mcfg = load_model_config(MODEL_DIR)
-        if use_pallas and mcfg.polish_sweeps > 0:
-            # 'fused' runs the whole projection tail (div + polish +
-            # velocity update + wall BCs) in one Pallas kernel
-            # (ops/pallas/proj_tail_pallas.py, parity 6e-6 vs the chain).
-            mcfg = dataclasses.replace(mcfg, polish_impl="fused")
-        model = FluidNet(mcfg)
-        template = init_train_state(
-            model, jax.random.PRNGKey(0), TrainConfig(), res, res
-        )
-        ts, _, _ = load_train_checkpoint(MODEL_DIR, template, best=True)
-        params = ts.params
+        base_cfg = load_model_config(MODEL_DIR)
+
+        def build(polish_impl):
+            mcfg = base_cfg
+            if use_pallas and mcfg.polish_sweeps > 0:
+                mcfg = dataclasses.replace(mcfg, polish_impl=polish_impl)
+            model = FluidNet(mcfg)
+            template = init_train_state(
+                model, jax.random.PRNGKey(0), TrainConfig(), res, res
+            )
+            ts, _, _ = load_train_checkpoint(MODEL_DIR, template, best=True)
+            return mcfg, model, ts.params
+
+        # 'fused' runs the whole projection tail (div + polish + velocity
+        # update + wall BCs) in one Pallas kernel (proj_tail_pallas.py,
+        # parity 6e-6 vs the chain).
+        mcfg, model, params = build("fused")
         info = f"{mcfg.model} ({MODEL_DIR}, polish={mcfg.polish_sweeps})"
         if (use_pallas and mcfg.model == "PUNet"
                 and mcfg.punet_refine_convs == 0
                 and res & (res - 1) == 0):
             # whole forward as ONE Pallas kernel (punet_pallas.py) + the
             # fused tail — the round-3 projection path. Fail SOFT to the
-            # flax forward: a fused-path error must degrade the projection
-            # engine, never the checkpoint (the outer except falls back to
-            # an untrained net, which would silently wreck the artifact).
+            # r2-validated flax forward + pallas tail: a fused-path error
+            # must degrade the projection engine, never the checkpoint
+            # (the outer except falls back to an untrained net, which
+            # would silently wreck the artifact).
             try:
                 from fluidnet_cxx_tpu.models import (
                     make_project_fn_fused_forward,
@@ -84,17 +108,33 @@ def load_flagship(res):
                 project = make_project_fn_fused_forward(
                     model, params, res, res
                 )
+                _validate_project(project, res)
                 info += ", fused-forward"
-                return model, params, project, info
+                return model, params, project, info, "fused-fwd+fused-tail"
             except Exception as e:
-                log(f"fused forward unavailable ({e}); flax forward")
+                log(f"fused forward rejected on this backend ({e}); "
+                    f"reverting to flax forward + pallas tail")
+        # flax forward; validate the tail too — if even the fused tail is
+        # rejected, drop to the r2-validated per-op pallas polish.
+        for impl, engine in (("fused", "flax-fwd+fused-tail"),
+                             ("pallas", "flax-fwd+pallas-tail")):
+            mcfg, model, params = build(impl)
+            project = make_project_fn(model, params)
+            try:
+                if use_pallas:
+                    _validate_project(project, res)
+            except Exception as e:
+                log(f"polish_impl={impl} rejected ({e}); degrading")
+                continue
+            return model, params, project, info, engine
+        raise RuntimeError("no projection engine validated")
     except Exception as e:
         log(f"checkpoint load failed ({e}); using untrained ScaleNet")
         mcfg = ModelConfig(model="ScaleNet")
         model = FluidNet(mcfg)
         params = init_params(model, jax.random.PRNGKey(0), res, res)
         info = "ScaleNet (untrained fallback)"
-    return model, params, make_project_fn(model, params), info
+    return model, params, make_project_fn(model, params), info, "fallback"
 
 
 def build(res, cfg_kw, project=None):
@@ -129,14 +169,19 @@ def build(res, cfg_kw, project=None):
 
 
 def run_case(name, res, cfg_kw, project=None, rollout=300, stat=100,
-             n_time=None, reps=3):
+             n_time=None, reps=None, engine=None):
     """Roll the case from t=0 collecting quality stats, then time it with
-    ``reps`` marginal measurements. One artifact per case."""
+    ``reps`` marginal measurements. One artifact per case. Small shapes
+    need long scans: at 128² a step is sub-100 µs, so marginal timing over
+    n=200 has ±20% spread (r3 measured); n=2000 amortizes it (VERDICT r3
+    item 5 targets spread <5%)."""
     from fluidnet_cxx_tpu import ops
 
     step, state0 = build(res, cfg_kw, project)
     fl = (state0.flags == 1) & (state0.U_bc_inv_mask[:, 1] > 0.5)
-    n_time = n_time or (100 if res >= 512 else 200)
+    n_time = n_time or int(os.environ.get(
+        "BENCH_NTIME", 200 if res >= 512 else 2000))
+    reps = reps or (3 if res >= 512 else 5)
 
     def chunk_fn(n):
         @jax.jit
@@ -186,14 +231,18 @@ def run_case(name, res, cfg_kw, project=None, rollout=300, stat=100,
     sps_reps.sort()
     sps = sps_reps[len(sps_reps) // 2]
     spread = (sps_reps[-1] - sps_reps[0]) / sps
+    mad = float(np.median(np.abs(np.asarray(sps_reps) - sps))) / sps
 
     rec = {
         "sps": round(sps, 1),
         "sps_spread": round(spread, 3),
+        "sps_mad": round(mad, 4),
         "mean_div": round(float(np.mean(m_stats)), 6),
         "max_div": round(float(np.max(x_stats)), 5),
         "height": int(height),
     }
+    if engine:
+        rec["engine"] = engine
     log(f"{res}^2 {name:14s} {sps:8.1f} steps/s (spread {spread:.1%})  "
         f"mean|div| {rec['mean_div']:.5f}  max|div| {rec['max_div']:.4f}  "
         f"height {rec['height']}")
@@ -275,19 +324,39 @@ def _await_tunnel(max_wait_s: int = 1200) -> bool:
     return False
 
 
+def _persist(out):
+    """Every bench emission also lands timestamped in docs/results/ so a
+    headline claim always has a repo-resident artifact (CLAUDE.md
+    invariant; VERDICT r3 item 2). Never let persistence kill the JSON
+    line the driver captures."""
+    try:
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "docs", "results")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(
+            d, time.strftime("bench_%Y%m%d_%H%M%S.json"))
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        log(f"artifact written: {path}")
+    except Exception as e:  # noqa: BLE001 — persistence is best-effort
+        log(f"artifact persistence failed: {e}")
+
+
 def main():
     n_512 = int(os.environ.get("BENCH_STEPS", "300"))
     if not _await_tunnel():
         # Emit an explicit artifact rather than hanging the driver.
-        print(json.dumps({
+        out = {
             "metric": "plume_512_cnn_steps_per_sec",
             "value": 0.0,
             "unit": "steps/s",
             "vs_baseline": 0.0,
             "error": "axon TPU tunnel down (claim port 127.0.0.1:8082 "
                      "closed for >20 min); see RESULTS.md for the last "
-                     "measured artifact (2026-08-17 15:36)",
-        }))
+                     "measured artifact (docs/results/bench_r3_a.json)",
+        }
+        _persist(out)
+        print(json.dumps(out))
         return
     dev = jax.devices()[0]
     log(f"device: {dev}")
@@ -302,28 +371,36 @@ def main():
             log(f"case failed: {type(e).__name__}: {e}")
             return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
 
+    use_pallas = jax.default_backend() != "cpu"
+    adv_engine = ("pallas-merged" if os.environ.get("BENCH_FUSE_ADV") == "1"
+                  else "pallas" if use_pallas else "xla")
     tables = {}
     infos = {}
     flagship = {}
     for res in (512, 128):
-        model, params, project, info = load_flagship(res)
-        infos[res] = info
-        flagship[res] = (model, params, project, info)
+        model, params, project, info, engine = load_flagship(res)
+        infos[res] = f"{info} [{engine}]"
+        flagship[res] = (model, params, project, info, engine)
         rollout = n_512 if res == 512 else 400
         t = {}
         t["cnn"] = safe(run_case, "cnn", res, dict(sim_method="convnet"),
-                        project=project, rollout=rollout)
+                        project=project, rollout=rollout,
+                        engine=f"{engine}/adv={adv_engine}")
         for ji in (28, 100, 200):
             t[f"jacobi{ji}"] = safe(
                 run_case, f"jacobi-{ji}", res, dict(jacobi_iter=ji),
-                rollout=rollout)
+                rollout=rollout,
+                engine=f"jacobi-{'pallas' if use_pallas else 'xla'}"
+                       f"/adv={adv_engine}")
         t["mg2"] = safe(run_case, "mg-2v", res,
                         dict(sim_method="multigrid", mg_vcycles=2),
-                        rollout=rollout)
+                        rollout=rollout,
+                        engine=f"mg-{'fused-pallas' if use_pallas else 'xla'}"
+                               f"/adv={adv_engine}")
         tables[res] = t
 
-    model, params, project, info = flagship[512]
-    shipping = project if "fused-forward" in info else None
+    model, params, project, info, engine = flagship[512]
+    shipping = project if engine == "fused-fwd+fused-tail" else None
     try:
         mfu, flops, t_proj = projection_mfu(model, params, 512,
                                             project=shipping)
@@ -342,12 +419,16 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(sps / (50.0 * cpu_sps), 3) if cpu_sps else None,
         "model": infos[512],
+        "engine": engine,
         "line_trace": os.environ.get("BENCH_LINE_TRACE", "1") == "1",
+        "fuse_advection": os.environ.get("BENCH_FUSE_ADV", "0") == "1",
+        "max_disp": int(os.environ.get("BENCH_MAX_DISP", "4")),
         "proj_ms": round(1e3 * t_proj, 4),
         "proj_mfu": round(mfu, 4),
         "table_512": tables[512],
         "table_128": tables[128],
     }
+    _persist(out)
     print(json.dumps(out))
 
 

@@ -177,8 +177,11 @@ class FluidNet(nn.Module):
         # concentrated at the patch scale (8 cells) — the V-cycle's weakest
         # band (its 4+4 fine sweeps smooth it less than 32 damped sweeps
         # do), so 'fused' polishes this model better; 'mg' is kept for
-        # models whose error is broadband.
-        if self.cfg.polish_impl == "mg":
+        # models whose error is broadband. Gated on the same polish intent
+        # as the other impls: polish_sweeps == 0 means NO polish for every
+        # impl (a config toggling sweeps off must never silently run a full
+        # V-cycle projection).
+        if self.cfg.polish_sweeps > 0 and self.cfg.polish_impl == "mg":
             from ..ops.pallas.mg_pallas import project_mg_pallas
 
             p_out, U_new = project_mg_pallas(

@@ -296,7 +296,7 @@ def advect_scalar3_pallas(
     b, d, h, w = src.shape
     assert d % block_z == 0, (d, block_z)
     assert h % block_y == 0, (h, block_y)
-    halo = -(-(max_disp + 2) // 8) * 8  # 8-aligned for Mosaic DMA
+    halo = -(-(2 * (max_disp + 1)) // 8) * 8  # 8-aligned for Mosaic DMA
     ext_z = block_z + 2 * halo
     ext_y = block_y + 2 * halo
 
@@ -501,7 +501,7 @@ def advect_all3_pallas(
     b, d, h, w = src.shape
     assert d % block_z == 0, (d, block_z)
     assert h % block_y == 0, (h, block_y)
-    halo = -(-(max_disp + 2) // 8) * 8
+    halo = -(-(2 * (max_disp + 1)) // 8) * 8
     ext_z = block_z + 2 * halo
     ext_y = block_y + 2 * halo
 
@@ -700,7 +700,7 @@ def advect_velocity3_pallas(
     b, _, d, h, w = U.shape
     assert d % block_z == 0, (d, block_z)
     assert h % block_y == 0, (h, block_y)
-    halo = -(-(max_disp + 2) // 8) * 8
+    halo = -(-(2 * (max_disp + 1)) // 8) * 8
     ext_z = block_z + 2 * halo
     ext_y = block_y + 2 * halo
 

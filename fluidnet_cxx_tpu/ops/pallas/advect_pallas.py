@@ -214,7 +214,7 @@ def advect_velocity_pallas(
     field DMAs are skipped then). flags (b,h,w) int32, U (b,2,h,w) f32."""
     b, _, h, w = U.shape
     assert h % block == 0, (h, block)
-    halo = -(-(max_disp + 2) // 8) * 8  # 8-row aligned for Mosaic DMA
+    halo = -(-(2 * (max_disp + 1)) // 8) * 8  # 8-row aligned for Mosaic DMA
     ext = block + 2 * halo
     n_rb = h // block
     has_orig = orig is not None
@@ -526,7 +526,7 @@ def advect_scalar_pallas(
     back-trace variant (== line_trace=False)."""
     b, h, w = src.shape
     assert h % block == 0, (h, block)
-    halo = -(-(max_disp + 2) // 8) * 8  # 8-row aligned for Mosaic DMA
+    halo = -(-(2 * (max_disp + 1)) // 8) * 8  # 8-row aligned for Mosaic DMA
     ext = block + 2 * halo
     n_rb = h // block
 
@@ -727,7 +727,7 @@ def advect_all_pallas(
     the un-advected field). Returns (rho', U')."""
     b, h, w = src.shape
     assert h % block == 0, (h, block)
-    halo = -(-(max_disp + 2) // 8) * 8
+    halo = -(-(2 * (max_disp + 1)) // 8) * 8
     ext = block + 2 * halo
     n_rb = h // block
     has_orig = orig is not None

@@ -10,6 +10,7 @@ per-invocation executor overhead) for the window and gather advection
 engines, plus the learned projection when a 3-D checkpoint is given.
 """
 import argparse
+import json
 import os
 import sys
 import time
@@ -18,6 +19,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+
+
+def persist(rows, args):
+    """Timestamped JSON artifact under docs/results/ — every 3-D headline
+    claim must resolve to a repo path (CLAUDE.md invariant)."""
+    try:
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "docs", "results")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(
+            d, time.strftime("bench3d_%Y%m%d_%H%M%S.json"))
+        with open(path, "w") as f:
+            json.dump({
+                "res": args.res, "jacobi_iter": args.jacobiIter,
+                "dt": args.dt, "steps": args.steps,
+                "fuse_advection": args.fuseAdvection,
+                "line_trace": args.lineTrace,
+                "model_dir": args.modelDir,
+                "device": str(jax.devices()[0]),
+                "rows": rows,
+            }, f, indent=1)
+        print(f"artifact written: {path}", file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 — persistence is best-effort
+        print(f"artifact persistence failed: {e}", file=sys.stderr)
 
 
 def time_steps(step, state, n):
@@ -78,6 +103,7 @@ def main():
         ("window (XLA)", dict(advection_impl="window")),
         ("gather", dict(advection_impl="gather")),
     ]
+    rows = []
     for name, kw in cases:
         cfg = plume_config(
             dt=args.dt, jacobi_iter=args.jacobiIter,
@@ -85,12 +111,21 @@ def main():
             line_trace=args.lineTrace, max_disp=2,
             fuse_advection=args.fuseAdvection, **kw,
         )
-        sps, s = time_steps(lambda st: simulate_step3(cfg, st), state,
-                            args.steps)
-        div = float(jnp.abs(
-            ops3d.velocity_divergence3(s.U, s.flags)).max())
+        try:
+            sps, s = time_steps(lambda st: simulate_step3(cfg, st), state,
+                                args.steps)
+            div = float(jnp.abs(
+                ops3d.velocity_divergence3(s.U, s.flags)).max())
+        except Exception as e:  # noqa: BLE001 — one row must not kill all
+            print(f"{name:28s} FAILED: {type(e).__name__}: {e}", flush=True)
+            rows.append({"case": name, "error": f"{type(e).__name__}: "
+                                                f"{str(e)[:300]}"})
+            continue
         print(f"{name:28s} Jacobi-{args.jacobiIter}: {sps:8.2f} steps/s "
               f"({1e3 / sps:.1f} ms/step), max|div|={div:.4f}", flush=True)
+        rows.append({"case": name, "sps": round(sps, 2),
+                     "ms_per_step": round(1e3 / sps, 2),
+                     "max_div": round(div, 5)})
 
     if args.modelDir:
         from fluidnet_cxx_tpu.models.punet3d import (
@@ -124,14 +159,27 @@ def main():
             max_disp=2, advection_impl="window", use_pallas=True,
             fuse_advection=args.fuseAdvection,
         )
-        sps, s = time_steps(
-            lambda st: simulate_step3(cfg, st, project_fn=project),
-            state, args.steps,
-        )
-        div = float(jnp.abs(
-            ops3d.velocity_divergence3(s.U, s.flags)).max())
-        print(f"{'PUNet3 learned projection':28s}: {sps:8.2f} steps/s "
-              f"({1e3 / sps:.1f} ms/step), max|div|={div:.4f}")
+        try:
+            sps, s = time_steps(
+                lambda st: simulate_step3(cfg, st, project_fn=project),
+                state, args.steps,
+            )
+            div = float(jnp.abs(
+                ops3d.velocity_divergence3(s.U, s.flags)).max())
+            print(f"{'PUNet3 learned projection':28s}: {sps:8.2f} steps/s "
+                  f"({1e3 / sps:.1f} ms/step), max|div|={div:.4f}")
+            rows.append({"case": "punet3 learned", "sps": round(sps, 2),
+                         "ms_per_step": round(1e3 / sps, 2),
+                         "max_div": round(div, 5),
+                         "polish_impl": mcfg.polish_impl,
+                         "polish_sweeps": mcfg.polish_sweeps})
+        except Exception as e:  # noqa: BLE001 — one row must not kill all
+            print(f"{'PUNet3 learned projection':28s} FAILED: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            rows.append({"case": "punet3 learned",
+                         "error": f"{type(e).__name__}: {str(e)[:300]}"})
+
+    persist(rows, args)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,37 @@ def test_advect_velocity_pallas_matches_window(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_advect_pallas_clamp_limit_across_blocks(rng):
+    """Displacements AT the window clamp limit crossing a row-block
+    boundary: the chained MacCormack reach is 2*(max_disp+1) rows (bwd
+    samples fwd up to D+1 away, whose own src reach is another D+1), so an
+    under-sized halo reads circularly-wrapped tile data. Regression for
+    the r3 halo formula ceil((D+2)/8)*8 = 8 < 10 at D=4 (ADVICE r3)."""
+    from fluidnet_cxx_tpu.ops.pallas.advect_pallas import (
+        advect_scalar_pallas,
+        advect_velocity_pallas,
+    )
+
+    flags = random_flags(rng, 1, 64, 32, p_obstacle=0.05)
+    # |u|*dt ~ 6 > D=4 everywhere -> every back-trace clips to the window
+    # limit; rows near the block=16 boundaries exercise the full halo.
+    U = (20.0 + 2.0 * rng.standard_normal((1, 2, 64, 32))).astype(np.float32)
+    U[:, 1] *= -1.0
+    rho = rng.random((1, 64, 32)).astype(np.float32)
+    got_v = np.asarray(advect_velocity_pallas(
+        0.3, U, flags, 0.6, max_disp=4, block=16, interpret=True))
+    want_v = np.asarray(ops.advect_velocity(
+        0.3, U, U, flags, maccormack_strength=0.6, impl="window",
+        max_disp=4))
+    np.testing.assert_allclose(got_v, want_v, atol=1e-4)
+    got_s = np.asarray(advect_scalar_pallas(
+        0.3, rho, U, flags, 0.6, max_disp=4, block=16, interpret=True))
+    want_s = np.asarray(ops.advect_scalar(
+        0.3, rho, U, flags, maccormack_strength=0.6, line_trace=False,
+        impl="window", max_disp=4))
+    np.testing.assert_allclose(got_s, want_s, atol=1e-5)
+
+
 def test_advect_scalar_pallas_matches_window(rng):
     from fluidnet_cxx_tpu.ops.pallas.advect_pallas import advect_scalar_pallas
 
