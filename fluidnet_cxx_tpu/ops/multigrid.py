@@ -176,9 +176,19 @@ def _neumann_extend(flags, e):
     return e
 
 
-def _vcycle(flags_lvls, rhs, p, lvl, pre, post, coarse_iters, damping):
+def _vcycle(flags_lvls, rhs, p, lvl, pre, post, coarse_iters, damping,
+            coarse_fn=None, cut_lvl=None):
     flags = flags_lvls[lvl]
     rhs = _remove_incompatible(flags, rhs)
+    if coarse_fn is not None and lvl == cut_lvl:
+        # Learned coarse-grid correction (sim 'mg_learned', VERDICT r3
+        # item 8): the network one-shots the solve of A e = rhs at this
+        # level (replacing the whole sub-V below it), then ``post`` damped
+        # sweeps clean up whatever high-frequency noise the net emits so
+        # the upward prolongation chain sees a smooth correction.
+        e = coarse_fn(flags, rhs)
+        return solve_jacobi_fixed(flags, rhs, post, p0=p + e,
+                                  damping=damping)
     if lvl + 1 == len(flags_lvls):
         return solve_jacobi_fixed(flags, rhs, coarse_iters, p0=p,
                                   damping=damping)
@@ -187,7 +197,7 @@ def _vcycle(flags_lvls, rhs, p, lvl, pre, post, coarse_iters, damping):
     rhs_c = _restrict_sum(r)
     e_c = jnp.zeros_like(rhs_c)
     e_c = _vcycle(flags_lvls, rhs_c, e_c, lvl + 1, pre, post,
-                  coarse_iters, damping)
+                  coarse_iters, damping, coarse_fn, cut_lvl)
     _, h, w = flags.shape
     cont = ~(border_mask(h, w, 1)[None] | (flags == OBSTACLE))
     e_c = _neumann_extend(flags_lvls[lvl + 1], e_c)
@@ -204,17 +214,36 @@ def _levels(flags, min_size):
     return lvls
 
 
+def _cut_level(lvls, coarse_size):
+    """Index of the first level whose max spatial side is <= coarse_size
+    (the level a learned coarse solve takes over). None if no such level
+    strictly below the finest — a learned solve AT the finest level is a
+    plain convnet projection, not a hybrid, so it is not allowed here."""
+    for i, f in enumerate(lvls):
+        if max(f.shape[1], f.shape[2]) <= coarse_size:
+            return i if i > 0 else None
+    return None
+
+
 def solve_mg(flags, div, n_vcycles: int = 2, pre: int = 4, post: int = 4,
              coarse_iters: int = 32, damping: float = 2.0 / 3.0,
-             min_size: int = 8, p0=None):
+             min_size: int = 8, p0=None, coarse_fn=None,
+             coarse_size: int = 128):
     """V-cycle multigrid for the obstacle-aware pressure Poisson equation.
     Same (flags, div) contract as ``solve_jacobi_fixed``; returns p with the
     same pinning (0 on border/obstacle). 2 V-cycles at 512^2 reduce max|div|
-    to classical-solver convergence levels; see scripts/quality_per_ms.py."""
+    to classical-solver convergence levels; see scripts/quality_per_ms.py.
+
+    ``coarse_fn(flags_c, rhs_c) -> e_c`` (optional): learned coarse-grid
+    solve taking over the first level with side <= ``coarse_size`` —
+    the CNN supplies the global (low-frequency) correction, the fine
+    sweeps the local detail (models/mg_coarse.py)."""
     p = jnp.zeros_like(div) if p0 is None else p0
     lvls = _levels(flags, min_size)
+    cut = _cut_level(lvls, coarse_size) if coarse_fn is not None else None
     for _ in range(n_vcycles):
-        p = _vcycle(lvls, div, p, 0, pre, post, coarse_iters, damping)
+        p = _vcycle(lvls, div, p, 0, pre, post, coarse_iters, damping,
+                    coarse_fn if cut is not None else None, cut)
     # Gauge fix: the pure-Neumann system is singular; a warm start carries
     # a null (constant) component that leaks into velocity at fluid|empty
     # faces and compounds across closed-loop steps. Pin the zero-mean gauge
@@ -225,6 +254,30 @@ def solve_mg(flags, div, n_vcycles: int = 2, pre: int = 4, post: int = 4,
     return cont * (p - jnp.sum(p * cont, axis=(1, 2), keepdims=True)
                    / jnp.maximum(jnp.sum(cont, axis=(1, 2), keepdims=True),
                                  1.0))
+
+
+def mg_cut_rhs(flags, div, coarse_size: int = 128, pre: int = 4,
+               damping: float = 2.0 / 3.0, min_size: int = 8, p0=None):
+    """Downward half-V only: pre-smooth + restrict from the finest level to
+    the learned-coarse cut, returning ``(flags_c, rhs_c)`` — EXACTLY the
+    input distribution ``coarse_fn`` sees inside ``solve_mg``. Used to
+    collect training data for the learned coarse solve
+    (scripts/train_mg_coarse.py)."""
+    lvls = _levels(flags, min_size)
+    cut = _cut_level(lvls, coarse_size)
+    assert cut is not None, (
+        f"no level of side <= {coarse_size} below the finest "
+        f"{lvls[0].shape}")
+    p = jnp.zeros_like(div) if p0 is None else p0
+    rhs = div
+    for lvl in range(cut):
+        f = lvls[lvl]
+        rhs = _remove_incompatible(f, rhs)
+        p = solve_jacobi_fixed(f, rhs, pre, p0=p, damping=damping)
+        r = residual(f, rhs, p)
+        rhs = _restrict_sum(r)
+        p = jnp.zeros_like(rhs)
+    return lvls[cut], _remove_incompatible(lvls[cut], rhs)
 
 
 # ---------------------------------------------------------------- 3-D

@@ -168,6 +168,9 @@ def main():
     ap.add_argument("--jacobi", default="28,50,100,200,400")
     ap.add_argument("--mg", default="1,2,4")
     ap.add_argument("--polish", default="0,16,32,64,128")
+    ap.add_argument("--mgLearned", default=None,
+                    help="MGCoarse checkpoint dir: adds an mg_learned-1v "
+                         "row (learned coarse-grid correction V-cycle)")
     ap.add_argument("--out", default="out/qpm.json")
     args = ap.parse_args()
 
@@ -204,6 +207,20 @@ def main():
         cfg = plume_config(sim_method="multigrid", mg_vcycles=nv, **fast)
         results.append(
             run_case(f"mg-{nv}v", cfg, state0, args.iters, args.statIter)
+        )
+
+    if args.mgLearned:
+        from fluidnet_cxx_tpu.models import (
+            load_mg_coarse,
+            make_project_fn_mg_learned,
+        )
+
+        mgc_model, mgc_params = load_mg_coarse(args.mgLearned)
+        project = make_project_fn_mg_learned(mgc_model, mgc_params)
+        cfg = plume_config(sim_method="convnet", **fast)
+        results.append(
+            run_case("mg_learned-1v", cfg, state0, args.iters,
+                     args.statIter, project)
         )
 
     mcfg = load_model_config(args.modelDir)

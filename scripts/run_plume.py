@@ -30,7 +30,8 @@ def main():
                          "kernels; the trace is inert without interior "
                          "obstacles)")
     ap.add_argument("--simMethod", default=None,
-                    choices=[None, "convnet", "jacobi"])
+                    choices=[None, "convnet", "jacobi", "multigrid",
+                             "mg_learned"])
     ap.add_argument("--resX", type=int, default=None)
     ap.add_argument("--resY", type=int, default=None)
     ap.add_argument("--maxIter", type=int, default=None)
@@ -75,7 +76,20 @@ def main():
         cfg = cfg.replace(use_pallas=True)
 
     project = None
-    if method == "convnet":
+    if method == "mg_learned":
+        # Hybrid: ONE V-cycle with the learned coarse-grid correction
+        # (models/mg_coarse.py). Rides the convnet dispatch — the hybrid
+        # is just a projection callable.
+        from fluidnet_cxx_tpu.models import (
+            load_mg_coarse,
+            make_project_fn_mg_learned,
+        )
+
+        mgc_model, mgc_params = load_mg_coarse(conf["modelDir"])
+        project = make_project_fn_mg_learned(mgc_model, mgc_params)
+        method = "convnet"
+        cfg = cfg.replace(sim_method="convnet")
+    if method == "convnet" and project is None:
         from fluidnet_cxx_tpu.models import FluidNet, make_project_fn
         from fluidnet_cxx_tpu.train.checkpoint import (
             load_model_config,
