@@ -333,8 +333,9 @@ def _persist(out):
         d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "docs", "results")
         os.makedirs(d, exist_ok=True)
+        stem = "bench_error_" if "error" in out else "bench_"
         path = os.path.join(
-            d, time.strftime("bench_%Y%m%d_%H%M%S.json"))
+            d, time.strftime(stem + "%Y%m%d_%H%M%S.json"))
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         log(f"artifact written: {path}")
