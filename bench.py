@@ -154,7 +154,7 @@ def build(res, cfg_kw, project=None):
                 # the window engine is OURS, the reference uses unbounded
                 # gathers. Applied to every case equally.
                 max_disp=int(os.environ.get("BENCH_MAX_DISP", "4")),
-                fuse_advection=os.environ.get("BENCH_FUSE_ADV", "0") == "1")
+                fuse_advection=os.environ.get("BENCH_FUSE_ADV", "1") == "1")
     cfg = plume_config(**fast, **cfg_kw)
     # plumeConfig.yaml scene: injectionDensity .1, velocity 2 (scaled by
     # res/128 like solver_cpp/simulate/simulate.cpp:253), radius .145.
@@ -373,7 +373,9 @@ def main():
             return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
 
     use_pallas = jax.default_backend() != "cpu"
-    adv_engine = ("pallas-merged" if os.environ.get("BENCH_FUSE_ADV") == "1"
+    adv_engine = ("pallas-merged"
+                  if os.environ.get("BENCH_FUSE_ADV", "1") == "1"
+                  and use_pallas
                   else "pallas" if use_pallas else "xla")
     tables = {}
     infos = {}
@@ -422,7 +424,7 @@ def main():
         "model": infos[512],
         "engine": engine,
         "line_trace": os.environ.get("BENCH_LINE_TRACE", "1") == "1",
-        "fuse_advection": os.environ.get("BENCH_FUSE_ADV", "0") == "1",
+        "fuse_advection": os.environ.get("BENCH_FUSE_ADV", "1") == "1",
         "max_disp": int(os.environ.get("BENCH_MAX_DISP", "4")),
         "proj_ms": round(1e3 * t_proj, 4),
         "proj_mfu": round(mfu, 4),

@@ -74,9 +74,11 @@ class SimConfig:
     # Merge scalar + velocity advection into ONE Pallas kernel
     # (advect_all_pallas): halves the u/v/flags HBM loads and saves a
     # dispatch. Parity-tested against the standalone kernels; both consume
-    # the same pre-advection U as the step always did. Off by default
-    # until validated on real TPU hardware (Mosaic compilation + timing).
-    fuse_advection: bool = False
+    # the same pre-advection U as the step always did. Default ON since the
+    # 2026-08-18 TPU v5e window: Mosaic-validated (step parity dU=0) and
+    # faster on every bench row (512^2 J-100 990.5 vs 974.0 steps/s —
+    # docs/results/merged_advection_r4.log, bench_20260818_134518.json).
+    fuse_advection: bool = True
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -33,6 +33,12 @@ from .jacobi3_pallas import _cshift, _rshift
 F32 = jnp.float32
 I32 = jnp.int32
 
+# Whole-volume-resident kernel: 5 aliased windows + ~9 live temps must fit
+# VMEM; above this budget project_tail3_pallas falls back to the unfused
+# chain (at 128^3 the fused compile exceeds v5e VMEM — measured, see
+# docs/results/bench3d_r4_punet3.log). Tests patch this constant.
+FUSED_TAIL_VMEM_BUDGET = 110 * 1024 * 1024
+
 
 def _tail3_kernel(flags_ref, u_ref, v_ref, w_ref, p0_ref,
                   p_out_ref, u_out_ref, v_out_ref, w_out_ref,
@@ -138,6 +144,31 @@ def project_tail3_pallas(flags, U, p0, iters: int,
       U'  = ops3d.set_wall_bcs3(ops3d.velocity_update3(p, U, flags), flags)
     """
     b, d, h, w = p0.shape
+
+    # VMEM gate: the kernel is whole-volume-resident (5 aliased windows +
+    # ~9 live full-volume temps). At 128^3 a window is 8 MB and the total
+    # exceeds the chip's VMEM — Mosaic rejects the compile (observed on
+    # v5e, docs/results/bench3d_r4_punet3.log). Fall back to the exact
+    # unfused chain (same semantics, jacobi3_pallas sweeps) above budget.
+    per_buf = d * h * w * 4
+    if per_buf * 14 > FUSED_TAIL_VMEM_BUDGET:
+        from .. import ops3d
+
+        from .jacobi3_pallas import vmem_fits3
+
+        div = ops3d.velocity_divergence3(U, flags)
+        if interpret or not vmem_fits3(d, h, w):
+            p = ops3d.solve_jacobi_fixed3(flags, div, iters, p0=p0,
+                                          damping=damping)
+        else:
+            from .jacobi3_pallas import solve_jacobi3_pallas
+
+            p = solve_jacobi3_pallas(flags, div, iters, p0=p0,
+                                     damping=damping)
+        U_new = ops3d.set_wall_bcs3(
+            ops3d.velocity_update3(p, U, flags), flags)
+        return p, U_new
+
     flat = lambda a: a.reshape(b, d * h, w)
     args = (flat(flags.astype(F32)), flat(U[:, 0]), flat(U[:, 1]),
             flat(U[:, 2]), flat(p0))
@@ -154,6 +185,10 @@ def project_tail3_pallas(flags, U, p0, iters: int,
             in_specs=[block() for _ in range(5)],
             out_specs=[block() for _ in range(4)],
         ),
+        # u/v/w/p0 inputs alias the outputs: all loads happen before the
+        # final stores, and sharing the windows saves 4 full-volume VMEM
+        # buffers (32 MB at 128^3).
+        input_output_aliases={1: 1, 2: 2, 3: 3, 4: 0},
         cost_estimate=pl.CostEstimate(
             flops=(14 * iters + 60) * b * d * h * w,
             bytes_accessed=9 * b * d * h * w * 4,

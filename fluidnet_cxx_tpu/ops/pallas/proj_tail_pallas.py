@@ -35,6 +35,11 @@ from .jacobi_pallas import _shift
 
 F32 = jnp.float32
 
+# Whole-grid-resident kernel: 4 aliased windows + ~8 live full-grid temps
+# must fit VMEM; above this budget project_tail_pallas falls back to the
+# unfused chain (tests patch this to force the gate at small shapes).
+FUSED_TAIL_VMEM_BUDGET = 110 * 1024 * 1024
+
 
 def _clamp_shift_m(a, axis, yy, xx):
     """Left/down neighbour with the index CLAMPED at 0 (set_wall_bcs
@@ -136,6 +141,31 @@ def project_tail_pallas(flags, U, p0, iters: int,
       U'  = set_wall_bcs(velocity_update(p, U, flags), flags)
     """
     b, h, w = p0.shape
+
+    # VMEM gate (same rationale as proj_tail3_pallas): whole-grid-resident
+    # kernel, 4 aliased windows + ~8 live full-grid temps. Above budget
+    # (e.g. the 8000x800 cylinder: 25.6 MB/buffer) fall back to the exact
+    # unfused chain rather than fail the Mosaic compile.
+    per_buf = h * w * 4
+    if per_buf * 12 > FUSED_TAIL_VMEM_BUDGET:
+        from ..stencils import (set_wall_bcs, velocity_divergence,
+                                velocity_update)
+
+        from .jacobi_pallas import vmem_fits
+
+        div = velocity_divergence(U, flags)
+        if interpret or not vmem_fits(h, w):
+            from ..jacobi import solve_jacobi_fixed
+
+            p = solve_jacobi_fixed(flags, div, iters, p0=p0,
+                                   damping=damping)
+        else:
+            from .jacobi_pallas import solve_jacobi_pallas
+
+            p = solve_jacobi_pallas(flags, div, iters, p0=p0,
+                                    damping=damping)
+        return p, set_wall_bcs(velocity_update(p, U, flags), flags)
+
     kernel = partial(_tail_kernel, iters=iters, damping=float(damping))
 
     def block():

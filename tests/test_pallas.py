@@ -806,3 +806,54 @@ def test_project_fn_fused_forward_matches_flax(rng, monkeypatch):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_ref),
                                atol=2e-4)
+
+
+def test_project_tail_vmem_gate_falls_back(rng, monkeypatch):
+    """Above the VMEM budget the fused tails must route to the unfused
+    chain with identical semantics (the 128^3 learned row Mosaic-OOMed on
+    v5e before this gate — docs/results/bench3d_r4_punet3.log)."""
+    import fluidnet_cxx_tpu.ops.pallas.proj_tail3_pallas as pt3
+    import fluidnet_cxx_tpu.ops.pallas.proj_tail_pallas as pt2
+    from fluidnet_cxx_tpu.ops import ops3d
+    from fluidnet_cxx_tpu.ops.jacobi import solve_jacobi_fixed
+    from fluidnet_cxx_tpu.ops.stencils import (
+        set_wall_bcs,
+        velocity_divergence,
+        velocity_update,
+    )
+
+    # 2-D: tiny budget forces the gate at a small shape.
+    h, w = 16, 32
+    flags = np.asarray(random_flags(rng, 1, h, w, p_obstacle=0.1))
+    U = rng.standard_normal((1, 2, h, w)).astype(np.float32)
+    p0 = rng.standard_normal((1, h, w)).astype(np.float32)
+    p0[flags != 1] = 0.0
+    monkeypatch.setattr(pt2, "FUSED_TAIL_VMEM_BUDGET", 1)
+    p_got, U_got = pt2.project_tail_pallas(flags, U, p0, 7,
+                                           damping=2.0 / 3.0,
+                                           interpret=True)
+    div = velocity_divergence(U, flags)
+    p_want = solve_jacobi_fixed(flags, div, 7, p0=p0, damping=2.0 / 3.0)
+    U_want = set_wall_bcs(velocity_update(p_want, U, flags), flags)
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
+                               atol=1e-6)
+
+    # 3-D twin.
+    flags3 = _random_flags3(rng, 1, 8, 8, 16, p_obstacle=0.1)
+    U3 = rng.standard_normal((1, 3, 8, 8, 16)).astype(np.float32)
+    p03 = rng.standard_normal((1, 8, 8, 16)).astype(np.float32)
+    monkeypatch.setattr(pt3, "FUSED_TAIL_VMEM_BUDGET", 1)
+    p3_got, U3_got = pt3.project_tail3_pallas(flags3, U3, p03, 5,
+                                              damping=6.0 / 7.0,
+                                              interpret=True)
+    div3 = ops3d.velocity_divergence3(U3, flags3)
+    p3_want = ops3d.solve_jacobi_fixed3(flags3, div3, 5, p0=p03,
+                                        damping=6.0 / 7.0)
+    U3_want = ops3d.set_wall_bcs3(
+        ops3d.velocity_update3(p3_want, U3, flags3), flags3)
+    np.testing.assert_allclose(np.asarray(p3_got), np.asarray(p3_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U3_got), np.asarray(U3_want),
+                               atol=1e-6)
