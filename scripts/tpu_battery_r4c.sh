@@ -95,17 +95,24 @@ tail -6 /tmp/r4c_4_mgcoarse_train.log
 grep -q "step 2000" /tmp/r4c_4_mgcoarse_train.log && \
   cp -f /tmp/r4c_4_mgcoarse_train.log docs/results/mg_coarse_train_r4.log
 
-# ---- stage 5: mg_learned measurements (ex-r4b stages A+B) -----------------
+# ---- stage 5: qpm truth columns at 512^2 (+ mg_learned row if trained) ----
+# One run covers VERDICT r3 weak #5 (truth-column rerun on TPU) and, when
+# stage 4 produced a checkpoint, item 8's mg_learned row in the same table.
 if [ -d trained_models/MGCoarse_128/best ]; then
   timeout 3600 python scripts/quality_per_ms.py \
       --modelDir trained_models/PUNetD2_128 \
-      --res 512 --iters 600 --jacobi 100 --mg 1,2 --polish 32 \
+      --res 512 --iters 600 --jacobi 28,100,200 --mg 1,2 --polish 32,64 \
       --mgLearned trained_models/MGCoarse_128 \
       --out docs/results/qpm_512_mglearned_r4.json \
       > /tmp/r4c_5_qpm_mgl.log 2>&1
-  tail -12 /tmp/r4c_5_qpm_mgl.log
+  tail -16 /tmp/r4c_5_qpm_mgl.log
 else
-  echo "no MGCoarse checkpoint — skipping mg_learned qpm"
+  echo "no MGCoarse checkpoint — plain qpm truth-columns rerun"
+  timeout 3600 python scripts/quality_per_ms.py \
+      --modelDir trained_models/PUNetD2_128 \
+      --res 512 --iters 600 --jacobi 28,100,200 --mg 2 --polish 32,64 \
+      --out docs/results/qpm_512_r4.json > /tmp/r4c_5_qpm.log 2>&1
+  tail -14 /tmp/r4c_5_qpm.log
 fi
 
 # ---- stage 6: solver-generated multi-scene dataset + e2e training ---------
