@@ -227,10 +227,18 @@ def _mask_y(rows, dy_rows, n, dt=BF16):
 def _rot(x, s):
     """Circular row shift: row r <- row r+s (tpu.dynamic_rotate — ONE
     Mosaic op; chained concat-of-slices rotations send the layout
-    propagator into a pathological blow-up at this kernel's depth)."""
+    propagator into a pathological blow-up at this kernel's depth).
+
+    Mosaic implements tpu.dynamic_rotate for 32-bit element types ONLY
+    ("Rotate with non-32-bit data" is unimplemented on v5e, measured:
+    docs/results/fused_fwd_diag_r4.log) — bf16 activations round-trip
+    through f32 for the rotate. The up-cast is VPU-cheap next to the
+    nine MXU matmuls each conv feeds, and the matmuls still see bf16."""
     if s == 0:
         return x
-    return pltpu.roll(x, (-s) % x.shape[0], 0)
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, (-s) % x.shape[0], 0)
+    return pltpu.roll(x.astype(F32), (-s) % x.shape[0], 0).astype(x.dtype)
 
 
 def _mm(a, b):
