@@ -328,7 +328,7 @@ def _persist(out):
     """Every bench emission also lands timestamped in docs/results/ so a
     headline claim always has a repo-resident artifact (CLAUDE.md
     invariant; VERDICT r3 item 2). Never let persistence kill the JSON
-    line the driver captures."""
+    line the driver captures. Returns the artifact path (or None)."""
     try:
         d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "docs", "results")
@@ -339,8 +339,44 @@ def _persist(out):
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         log(f"artifact written: {path}")
+        return path
     except Exception as e:  # noqa: BLE001 — persistence is best-effort
         log(f"artifact persistence failed: {e}")
+        return None
+
+
+def _compact(out, artifact_path):
+    """The driver captures only the LAST ~2000 chars of stdout; r4's full
+    table grew to 2351 bytes and the graded record lost its head —
+    `parsed: null` (VERDICT r4 weak #1). Print a compact line (headline
+    fields + per-case sps/max|div| only, <1.5 KB) and point at the
+    persisted full artifact."""
+    small = {k: out[k] for k in (
+        "metric", "value", "unit", "vs_baseline", "engine", "line_trace",
+        "proj_ms") if k in out}
+    if "error" in out:
+        small["error"] = out["error"]
+    for res_key in ("table_512", "table_128"):
+        tbl = out.get(res_key)
+        if not tbl:
+            continue
+        small[res_key.replace("table_", "sps_")] = {
+            name: (rec.get("sps") if isinstance(rec, dict) else None)
+            for name, rec in tbl.items()}
+        small[res_key.replace("table_", "maxdiv_")] = {
+            name: (rec.get("max_div") if isinstance(rec, dict) else None)
+            for name, rec in tbl.items()}
+    if artifact_path:
+        small["artifact"] = os.path.relpath(
+            artifact_path, os.path.dirname(os.path.abspath(__file__)))
+    line = json.dumps(small)
+    if len(line) > 1500:  # last-resort: never regress past the window again
+        for k in ("maxdiv_128", "maxdiv_512", "sps_128"):
+            small.pop(k, None)
+            line = json.dumps(small)
+            if len(line) <= 1500:
+                break
+    return line
 
 
 def main():
@@ -356,8 +392,8 @@ def main():
                      "closed for >20 min); see RESULTS.md for the last "
                      "measured artifact (docs/results/bench_r3_a.json)",
         }
-        _persist(out)
-        print(json.dumps(out))
+        path = _persist(out)
+        print(_compact(out, path))
         return
     dev = jax.devices()[0]
     log(f"device: {dev}")
@@ -431,8 +467,8 @@ def main():
         "table_512": tables[512],
         "table_128": tables[128],
     }
-    _persist(out)
-    print(json.dumps(out))
+    path = _persist(out)
+    print(_compact(out, path))
 
 
 if __name__ == "__main__":

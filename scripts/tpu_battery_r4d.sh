@@ -67,7 +67,10 @@ except Exception:
     traceback.print_exc()
 EOF
 tail -20 /tmp/r4d_a_fusedfwd.log
-cp -f /tmp/r4d_a_fusedfwd.log docs/results/fused_fwd_diag_r4d.log
+# copy only on success — the heredoc swallows failures via print_exc, and
+# a failure log must never replace a success artifact (ADVICE r4 low)
+grep -q "FUSED FORWARD OK" /tmp/r4d_a_fusedfwd.log && \
+  cp -f /tmp/r4d_a_fusedfwd.log docs/results/fused_fwd_diag_r4d.log
 
 # ---- stage B: headline bench, fused forward now in the ladder --------------
 timeout 3600 python bench.py > /tmp/r4d_b_bench.log 2>&1
