@@ -48,6 +48,12 @@ class SimConfig:
     # reference's cold-start contract (its Jacobi always starts from 0,
     # fluids_init.cpp:916).
     mg_warm_start: bool = True
+    # 3-D hierarchy depth cap for the CLOSED-LOOP projection. Hierarchies
+    # >= 4 levels diverge in 3-D time-stepping (measured at 64^3/128^3,
+    # docs/results/mg3_probe_r4.log; single solves converge at any depth) —
+    # cap at the measured-stable 3 until the cycle defect is fixed
+    # (VERDICT r4 item 3 / ADVICE r4 medium). 0 = uncapped.
+    mg_max_levels3: int = 3
     # Sampling engine: 'window' (bounded-window shifts, the TPU fast path,
     # exact for CFL <= max_disp) or 'gather' (arbitrary displacement).
     advection_impl: str = "window"

@@ -16,7 +16,8 @@ from .mg_coarse import (
 )
 from .multi_scale import MultiScaleNet
 from .punet import PUNet, depth_to_space, space_to_depth
-from .punet3d import FluidNet3, PUNet3, init_params3, make_project_fn3
+from .punet3d import (FluidNet3, PUNet3, init_params3, make_project_fn3,
+                      make_project_fn3_fused_forward)
 
 __all__ = [
     "FluidNet", "FluidNet3", "FluidNetTower", "MGCoarseConfig",
@@ -24,6 +25,7 @@ __all__ = [
     "load_mg_coarse", "make_project_fn_mg_learned",
     "PUNet3", "assemble_inputs", "depth_to_space", "init_params",
     "init_params3", "make_project_fn", "make_project_fn3",
+    "make_project_fn3_fused_forward",
     "make_project_fn_fused_forward", "scale_std",
     "space_to_depth", "summary",
 ]

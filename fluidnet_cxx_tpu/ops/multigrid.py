@@ -393,20 +393,28 @@ def _vcycle3(flags_lvls, rhs, p, lvl, pre, post, coarse_iters, damping):
     return ops3d.solve_jacobi_fixed3(flags, rhs, post, p0=p, damping=damping)
 
 
-def _levels3(flags, min_size):
+def _levels3(flags, min_size, max_levels: int = 0):
     lvls = [flags]
     while (all(s % 2 == 0 for s in lvls[-1].shape[1:])
-           and min(lvls[-1].shape[1:]) // 2 >= min_size):
+           and min(lvls[-1].shape[1:]) // 2 >= min_size
+           and (max_levels <= 0 or len(lvls) < max_levels)):
         lvls.append(_coarsen_flags3(lvls[-1]))
     return lvls
 
 
 def solve_mg3(flags, div, n_vcycles: int = 2, pre: int = 4, post: int = 4,
               coarse_iters: int = 32, damping: float = 6.0 / 7.0,
-              min_size: int = 8, p0=None):
-    """3-D V-cycle (6/7-damped Jacobi smoothes all high modes in 3-D)."""
+              min_size: int = 8, p0=None, max_levels: int = 0):
+    """3-D V-cycle (6/7-damped Jacobi smoothes all high modes in 3-D).
+
+    ``max_levels`` caps the hierarchy depth (0 = uncapped). The closed-loop
+    3-D projection diverges on hierarchies >= 4 levels (measured 64^3/128^3,
+    docs/results/mg3_probe_r4.log) — the step path passes
+    SimConfig.mg_max_levels3 (default 3, the measured-stable depth) so the
+    default time-stepping cannot walk into the blow-up; single converged
+    solves (eval ground truth) remain uncapped and converge at any depth."""
     p = jnp.zeros_like(div) if p0 is None else p0
-    lvls = _levels3(flags, min_size)
+    lvls = _levels3(flags, min_size, max_levels)
     for _ in range(n_vcycles):
         p = _vcycle3(lvls, div, p, 0, pre, post, coarse_iters, damping)
     # Gauge fix — see solve_mg.

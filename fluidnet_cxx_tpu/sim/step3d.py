@@ -226,7 +226,10 @@ def simulate_step3(
         p = solve_mg3(flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
                       post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters,
                       p0=p if (cfg.mg_warm_start and cfg.mg_vcycles >= 2)
-                      else None)  # single warm V-cycle is unstable, see 2-D
+                      else None,  # single warm V-cycle is unstable, see 2-D
+                      # >=4-level closed loops diverge (mg3_probe_r4.log) —
+                      # depth-capped until the cycle defect is fixed
+                      max_levels=cfg.mg_max_levels3)
         U = ops3d.velocity_update3(p, U, flags)
     else:
         div = ops3d.velocity_divergence3(U, flags)

@@ -153,6 +153,29 @@ def main():
                               jnp.zeros((), jnp.int32))
         ts, _, _ = load_train_checkpoint(args.modelDir, template, best=True)
         project = make_project_fn3(model, ts.params)
+        engine3 = "flax-fwd+fused-tail"
+        if jax.default_backend() != "cpu" and mcfg.punet_refine_convs == 0:
+            # whole forward as ONE Pallas kernel (punet3_pallas) — fail
+            # SOFT to the flax forward + fused tail, with one forced
+            # validation call so a Mosaic rejection can never silently
+            # misattribute the row (same ladder as bench.py 2-D).
+            try:
+                from fluidnet_cxx_tpu.models.punet3d import (
+                    make_project_fn3_fused_forward,
+                )
+                from fluidnet_cxx_tpu.ops import ops3d as _o3
+
+                proj_f = make_project_fn3_fused_forward(
+                    model, ts.params, n, n, n)
+                pz = jnp.zeros((1, n, n, n), jnp.float32)
+                Uz = jnp.ones((1, 3, n, n, n), jnp.float32)
+                fz = _o3.empty_domain3(1, n, n, n)
+                jax.block_until_ready(jax.jit(proj_f)(pz, Uz, fz, pz))
+                project = proj_f
+                engine3 = "fused-fwd+fused-tail"
+            except Exception as e:  # noqa: BLE001 — degrade, don't die
+                print(f"fused 3-D forward rejected ({e}); flax forward",
+                      file=sys.stderr, flush=True)
         cfg = plume_config(
             dt=args.dt, sim_method="convnet", buoyancy_scale=0.5,
             gravity_vec=(0.0, -1.0, 0.0), line_trace=args.lineTrace,
@@ -172,7 +195,8 @@ def main():
                          "ms_per_step": round(1e3 / sps, 2),
                          "max_div": round(div, 5),
                          "polish_impl": mcfg.polish_impl,
-                         "polish_sweeps": mcfg.polish_sweeps})
+                         "polish_sweeps": mcfg.polish_sweeps,
+                         "engine": engine3})
         except Exception as e:  # noqa: BLE001 — one row must not kill all
             print(f"{'PUNet3 learned projection':28s} FAILED: "
                   f"{type(e).__name__}: {e}", flush=True)

@@ -114,3 +114,57 @@ def test_sim_method_multigrid_runs_plume():
                     & (state.U_bc_inv_mask[:, 1] > 0.5))
     assert np.isfinite(rho).all()
     assert np.abs(div * fl).max() < 0.02, np.abs(div * fl).max()
+
+
+def test_levels3_depth_cap():
+    """SimConfig.mg_max_levels3 guards the 3-D closed loop: >=4-level
+    hierarchies diverge in time-stepping (docs/results/mg3_probe_r4.log),
+    so the step path caps _levels3 at the measured-stable 3 while
+    single-solve ground truth stays uncapped (VERDICT r4 item 3)."""
+    from fluidnet_cxx_tpu.config import SimConfig
+
+    flags = ops3d.empty_domain3(1, 64, 64, 64)
+    assert len(mg._levels3(flags, 8)) >= 4          # uncapped walks deep
+    assert len(mg._levels3(flags, 8, 3)) == 3       # capped
+    assert SimConfig().mg_max_levels3 == 3          # default guards the step
+
+    # capped solve still converges on a manufactured compatible problem
+    rng = np.random.default_rng(0)
+    cont = np.asarray(mg._cont_mask(flags)) > 0
+    pstar = rng.standard_normal((1, 64, 64, 64)).astype(np.float32) * cont
+    rhs = mg.apply_A3(flags, jnp.asarray(pstar))
+    p = mg.solve_mg3(flags, rhs, n_vcycles=6, max_levels=3)
+    r = float(jnp.max(jnp.abs(mg._residual3(flags, rhs, p))))
+    r0 = float(jnp.max(jnp.abs(rhs)))
+    assert r < 5e-2 * r0, (r, r0)
+
+
+def test_mg3_closed_loop_stable_64(monkeypatch):
+    """Closed-loop 3-D multigrid time-stepping at 64^3 (the smallest shape
+    whose uncapped hierarchy reaches the diverging >=4-level regime) stays
+    bounded with the default depth cap. Opt-in: ~minutes on the 1-core CPU
+    box; set RUN_BIG_MG3_TEST=1."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("RUN_BIG_MG3_TEST"):
+        pytest.skip("expensive closed-loop proof; set RUN_BIG_MG3_TEST=1")
+    import jax
+
+    from fluidnet_cxx_tpu.sim import plume_config
+    from fluidnet_cxx_tpu.sim.scenes3 import create_plume_scene3
+    from fluidnet_cxx_tpu.sim.step3d import simulate_step3
+
+    state = create_plume_scene3(64, 64, 64, density_val=0.1, u_scale=0.6)
+    cfg = plume_config(dt=0.25, buoyancy_scale=0.5,
+                       gravity_vec=(0.0, -1.0, 0.0), max_disp=1,
+                       advection_impl="window", use_pallas=False,
+                       sim_method="multigrid", mg_vcycles=2,
+                       mg_warm_start=False, line_trace=False)
+    step = jax.jit(lambda s: simulate_step3(cfg, s))
+    for _ in range(30):
+        state = step(state)
+    div = np.asarray(ops3d.velocity_divergence3(state.U, state.flags))
+    assert np.isfinite(np.asarray(state.U)).all()
+    assert np.abs(div).max() < 1.0, np.abs(div).max()

@@ -857,3 +857,79 @@ def test_project_tail_vmem_gate_falls_back(rng, monkeypatch):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(U3_got), np.asarray(U3_want),
                                atol=1e-6)
+
+
+def test_punet3_forward_pallas_matches_flax(rng):
+    """Fused whole-PUNet3 forward (one pallas_call, 27-tap shifted-matmul
+    convs) == the flax PUNet3 at the 3-D flagship architecture (patch 4,
+    widths (96, 128)), f32 compute, interpret mode (VERDICT r4 item 4)."""
+    import jax.numpy as jnp
+
+    from fluidnet_cxx_tpu.config import ModelConfig
+    from fluidnet_cxx_tpu.models.punet3d import PUNet3
+    from fluidnet_cxx_tpu.ops.pallas.punet3_pallas import make_punet3_apply
+
+    cfg = ModelConfig(
+        model="PUNet3", punet_patch=4, punet_widths=(96, 128),
+        punet_level_convs=1, punet_bottleneck_convs=2,
+        punet_bottleneck_dilation=1, punet_refine_convs=0,
+    )
+    d = h = w = 16
+    net = PUNet3(patch=4, widths=(96, 128), level_convs=1,
+                 bottleneck_convs=2, dtype="float32")
+    x = jnp.asarray(rng.standard_normal((2, d, h, w, 2)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(net.apply(params, x))
+
+    fwd = make_punet3_apply(cfg, params["params"], d, h, w, interpret=True,
+                            compute_dtype=jnp.float32)
+    got = np.asarray(fwd(x))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_project_fn3_fused_forward_matches_flax(rng, monkeypatch):
+    """make_project_fn3_fused_forward == make_project_fn3 on the full 3-D
+    learned projection (assemble -> fused forward -> fused tail),
+    interpret mode."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    from fluidnet_cxx_tpu.config import ModelConfig
+    from fluidnet_cxx_tpu.models import (
+        FluidNet3,
+        init_params3,
+        make_project_fn3,
+        make_project_fn3_fused_forward,
+    )
+    from fluidnet_cxx_tpu.ops import ops3d
+
+    cfg = ModelConfig(
+        model="PUNet3", punet_patch=4, punet_widths=(96, 128),
+        punet_level_convs=1, punet_bottleneck_convs=2,
+        punet_refine_convs=0, polish_sweeps=4, polish_impl="fused",
+        compute_dtype="float32",
+    )
+    d = h = w = 16
+    model = FluidNet3(cfg)
+    params = init_params3(model, jax.random.PRNGKey(0), d, h, w)
+
+    flags = ops3d.empty_domain3(1, d, h, w)
+    U = jnp.asarray(0.3 * rng.standard_normal((1, 3, d, h, w)), jnp.float32)
+    p = jnp.zeros((1, d, h, w), jnp.float32)
+    rho = jnp.zeros((1, d, h, w), jnp.float32)
+
+    p_want, U_want = make_project_fn3(model, params)(p, U, flags, rho)
+    p_got, U_got = make_project_fn3_fused_forward(
+        model, params, d, h, w, compute_dtype=jnp.float32)(p, U, flags, rho)
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
+                               atol=2e-4)
