@@ -220,7 +220,7 @@ def make_project_fn(model: FluidNet, params, deterministic: bool = True):
 
 
 def make_project_fn_fused_forward(model: FluidNet, params, h: int, w: int,
-                                  compute_dtype=jnp.bfloat16):
+                                  compute_dtype=jnp.float32):
     """Inference projection with the PUNet forward as ONE Pallas kernel.
 
     Replaces ``make_project_fn`` when the model is a refine-free PUNet on a
@@ -230,6 +230,20 @@ def make_project_fn_fused_forward(model: FluidNet, params, h: int, w: int,
     BCs in one kernel). Numerically equivalent to the flax forward (the
     kernel is parity-tested against ``PUNet.__call__``); inference-only —
     training keeps the differentiable flax path.
+
+    Round-5 glue folds (docs/results/proj_breakdown_r5_20260819_102722.json,
+    VERDICT r4 item 2): the input normalisation runs IN the forward kernel
+    (``inv_scale`` lane scaling), the un-normalisation IN the tail
+    (``scale``), so no full-field XLA pass separates the two kernels.
+    ``compute_dtype`` defaults f32: the bf16 MXU saving is smaller than
+    the bf16->f32 rotate round-trips it forces (measured 95.4 us f32 vs
+    120.3 us bf16 at 512^2, same artifact).
+
+    The returned callable additionally accepts optional
+    ``U_bc``/``U_bc_inv_mask`` keywords: when given, the inlet/const BCs
+    are applied in-kernel on the tail's input AND output, replacing the
+    step's two apply_const_vals XLA passes around the projection
+    (``project.handles_const_vals`` advertises this to the step).
     """
     cfg = model.cfg
     if (cfg.model != "PUNet" or cfg.punet_refine_convs != 0 or h != w
@@ -241,19 +255,42 @@ def make_project_fn_fused_forward(model: FluidNet, params, h: int, w: int,
     fwd = make_punet_apply(cfg, params["params"]["PUNet_0"], h, w,
                            compute_dtype=compute_dtype)
 
-    def project(p, U, flags, density):
-        x, s, div = assemble_inputs(cfg, p, U, flags, density)
-        p_hat = fwd(x)[..., 0]
-        s3 = s[:, None, None]
+    def project(p, U, flags, density, U_bc=None, U_bc_inv_mask=None):
+        if U_bc is not None:
+            U_in = U * U_bc_inv_mask + U_bc
+        else:
+            U_in = U
+        div = velocity_divergence(U_in, flags)
+        if cfg.normalize_input:
+            chan = {"pDiv": p, "UDiv": U_in, "div": div}[
+                cfg.normalize_input_chan]
+            s = scale_std(chan, cfg.normalize_input_threshold)  # (b,)
+        else:
+            s = jnp.ones((p.shape[0],), jnp.float32)
+
+        if cfg.input_p_div:
+            feat0 = p
+        elif cfg.input_u_div:
+            raise ValueError("fused forward assembles 2-channel input")
+        else:
+            feat0 = div
+        x = jnp.stack([feat0, flags_to_occupancy(flags)], axis=-1)
+        p_hat = fwd(x, inv_scale=1.0 / s)[..., 0]
         if cfg.polish_impl == "mg":
             from ..ops.pallas.mg_pallas import project_mg_pallas
 
-            return project_mg_pallas(flags, U, p0=p_hat * s3, n_vcycles=1)
+            p_out, U_out = project_mg_pallas(
+                flags, U_in, p0=p_hat * s[:, None, None], n_vcycles=1)
+            if U_bc is not None:
+                U_out = U_out * U_bc_inv_mask + U_bc
+            return p_out, U_out
         from ..ops.pallas.proj_tail_pallas import project_tail_pallas
 
-        return project_tail_pallas(flags, U, p_hat * s3, cfg.polish_sweeps,
-                                   damping=cfg.polish_damping)
+        return project_tail_pallas(flags, U, p_hat, cfg.polish_sweeps,
+                                   damping=cfg.polish_damping, scale=s,
+                                   U_bc=U_bc, U_bc_inv_mask=U_bc_inv_mask)
 
+    project.handles_const_vals = True
     return project
 
 

@@ -51,17 +51,39 @@ def _clamp_shift_m(a, axis, yy, xx):
     return jnp.where(yy == 0, a, _shift(a, -1, 0))
 
 
-def _tail_kernel(flags_ref, u_ref, v_ref, p0_ref,
-                 p_out_ref, u_out_ref, v_out_ref,
-                 *, iters, damping):
+def _tail_kernel(flags_ref, u_ref, v_ref, p0_ref, *rest,
+                 iters, damping, has_scale, has_inlet):
     # Loads are direct ``ref[0]`` (b-major block) — a ``.at[0]`` ref view
     # is a memref_slice Mosaic cannot form at non-128-multiple widths
     # (lane-padded buffer, unaligned slice). flags arrive as f32: cell-type
     # values are tiny integers, exact in f32.
+    #
+    # Optional folds (VERDICT r4 item 2 — the learned projection's XLA
+    # glue): ``has_scale`` scales the warm start by the normalisation s
+    # in-kernel (drops the p_hat*s3 XLA pass); ``has_inlet`` applies the
+    # inlet/const BCs (x*inv_mask + bc) to the input velocity and
+    # re-applies them on the output (drops BOTH apply_const_vals XLA
+    # passes around the projection — measured 74 us of convnet glue,
+    # docs/results/proj_breakdown_r5_20260819_102722.json).
+    ridx = 0
+    if has_scale:
+        s_ref = rest[ridx]
+        ridx += 1
+    if has_inlet:
+        bcu_ref, bcv_ref, imu_ref, imv_ref = rest[ridx:ridx + 4]
+        ridx += 4
+    p_out_ref, u_out_ref, v_out_ref = rest[ridx:ridx + 3]
     h, w = flags_ref.shape[1:]
     flags = flags_ref[0]
     u = u_ref[0]
     v = v_ref[0]
+    if has_inlet:
+        imu = imu_ref[0]
+        imv = imv_ref[0]
+        bcu = bcu_ref[0]
+        bcv = bcv_ref[0]
+        u = u * imu + bcu
+        v = v * imv + bcv
 
     flf = jnp.where(flags == float(FLUID), 1.0, 0.0)   # f32 masks: Mosaic
     obf = jnp.where(flags == float(OBSTACLE), 1.0, 0.0)  # dislikes i1
@@ -96,7 +118,10 @@ def _tail_kernel(flags_ref, u_ref, v_ref, p0_ref,
             upd = (1.0 - damping) * p + damping * upd
         return jnp.where(cont, upd, 0.0)
 
-    p = jax.lax.fori_loop(0, iters, sweep, p0_ref[0])
+    p0 = p0_ref[0]
+    if has_scale:
+        p0 = p0 * s_ref[0, 0]
+    p = jax.lax.fori_loop(0, iters, sweep, p0)
 
     # 3. Velocity update (Bridson BCs; border faces untouched). The wrapped
     # neighbour at x=0/y=0 only feeds border faces, which are overwritten.
@@ -126,33 +151,50 @@ def _tail_kernel(flags_ref, u_ref, v_ref, p0_ref,
     kill_u = contw & (ob_xm_c | (ob & fl_xm_c))
     kill_v = contw & (ob_ym_c | (ob & fl_ym_c))
 
+    u_new = jnp.where(kill_u, 0.0, u_new)
+    v_new = jnp.where(kill_v, 0.0, v_new)
+    if has_inlet:
+        u_new = u_new * imu + bcu
+        v_new = v_new * imv + bcv
     p_out_ref[0] = p
-    u_out_ref[0] = jnp.where(kill_u, 0.0, u_new)
-    v_out_ref[0] = jnp.where(kill_v, 0.0, v_new)
+    u_out_ref[0] = u_new
+    v_out_ref[0] = v_new
 
 
 def project_tail_pallas(flags, U, p0, iters: int,
-                        damping: float = 2.0 / 3.0, interpret: bool = False):
+                        damping: float = 2.0 / 3.0, interpret: bool = False,
+                        scale=None, U_bc=None, U_bc_inv_mask=None):
     """Fused projection tail. flags (b,h,w) i32, U (b,2,h,w) f32 divergent,
     ``p0`` (b,h,w) f32 warm-start pressure (CNN head output, un-normalised).
     Returns (p, U') == the unfused chain:
+      [U = U * U_bc_inv_mask + U_bc]            (if inlet args given)
       div = velocity_divergence(U, flags)
-      p   = solve_jacobi_fixed(flags, div, iters, p0=p0, damping=damping)
+      p   = solve_jacobi_fixed(flags, div, iters, p0=p0*scale, damping=...)
       U'  = set_wall_bcs(velocity_update(p, U, flags), flags)
+      [U' = U' * U_bc_inv_mask + U_bc]          (if inlet args given)
+    ``scale`` (b,) optional: the normalisation s folded in-kernel.
+    ``U_bc``/``U_bc_inv_mask`` (b,2,h,w) optional: inlet/const BCs folded
+    in-kernel (both applications).
     """
     b, h, w = p0.shape
+    has_scale = scale is not None
+    has_inlet = U_bc is not None
 
     # VMEM gate (same rationale as proj_tail3_pallas): whole-grid-resident
     # kernel, 4 aliased windows + ~8 live full-grid temps. Above budget
     # (e.g. the 8000x800 cylinder: 25.6 MB/buffer) fall back to the exact
     # unfused chain rather than fail the Mosaic compile.
     per_buf = h * w * 4
-    if per_buf * 12 > FUSED_TAIL_VMEM_BUDGET:
+    if per_buf * (12 + 4 * has_inlet) > FUSED_TAIL_VMEM_BUDGET:
         from ..stencils import (set_wall_bcs, velocity_divergence,
                                 velocity_update)
 
         from .jacobi_pallas import vmem_fits
 
+        if has_inlet:
+            U = U * U_bc_inv_mask + U_bc
+        if has_scale:
+            p0 = p0 * scale[:, None, None]
         div = velocity_divergence(U, flags)
         if interpret or not vmem_fits(h, w):
             from ..jacobi import solve_jacobi_fixed
@@ -164,30 +206,45 @@ def project_tail_pallas(flags, U, p0, iters: int,
 
             p = solve_jacobi_pallas(flags, div, iters, p0=p0,
                                     damping=damping)
-        return p, set_wall_bcs(velocity_update(p, U, flags), flags)
+        U = set_wall_bcs(velocity_update(p, U, flags), flags)
+        if has_inlet:
+            U = U * U_bc_inv_mask + U_bc
+        return p, U
 
-    kernel = partial(_tail_kernel, iters=iters, damping=float(damping))
+    kernel = partial(_tail_kernel, iters=iters, damping=float(damping),
+                     has_scale=has_scale, has_inlet=has_inlet)
 
     def block():
         return pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+
+    args = [flags.astype(F32), U[:, 0], U[:, 1], p0]
+    in_specs = [block() for _ in range(4)]
+    if has_scale:
+        args.append(scale.reshape(b, 1).astype(F32))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+    if has_inlet:
+        args += [U_bc[:, 0], U_bc[:, 1],
+                 U_bc_inv_mask[:, 0], U_bc_inv_mask[:, 1]]
+        in_specs += [block() for _ in range(4)]
 
     p, u_o, v_o = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((b, h, w), F32)] * 3,
         grid_spec=pl.GridSpec(
             grid=(b,),
-            in_specs=[block() for _ in range(4)],
+            in_specs=in_specs,
             out_specs=[block() for _ in range(3)],
         ),
         cost_estimate=pl.CostEstimate(
             flops=(10 * iters + 30) * b * h * w,
-            bytes_accessed=7 * b * h * w * 4,
+            bytes_accessed=(7 + 4 * has_inlet) * b * h * w * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(flags.astype(F32), U[:, 0], U[:, 1], p0)
+    )(*args)
     return p, jnp.stack([u_o, v_o], axis=1)

@@ -246,10 +246,19 @@ def _mm(a, b):
                                preferred_element_type=F32)
 
 
-def _punet_kernel(*refs, layers, g0, head_real, cdt=BF16):
+def _punet_kernel(*refs, layers, g0, head_real, cdt=BF16, c_real=0):
     x = refs[0][0].astype(cdt)           # (g0*g0, cin_pad)
     out_ref = refs[-1]
     widx = 1
+    if c_real:
+        # In-kernel input normalisation (VERDICT r4 item 2): lane
+        # l = tap*c_real + c, channel c==0 is the physical (div) channel —
+        # scale it by 1/s here instead of a full-field XLA pass upstream.
+        inv = refs[1][0, 0]
+        widx = 2
+        lane = jax.lax.broadcasted_iota(I32, (1, x.shape[1]), 1)
+        sc = jnp.where(lane % c_real == 0, inv, 1.0).astype(cdt)
+        x = x * sc
     skips = {}
 
     for lay in layers:
@@ -355,9 +364,12 @@ def _punet_kernel(*refs, layers, g0, head_real, cdt=BF16):
 
 
 def punet_forward_pallas(plan, x_patch, interpret: bool = False,
-                         compute_dtype=BF16):
+                         compute_dtype=BF16, inv_scale=None,
+                         c_real: int = 0):
     """Run the fused forward. ``plan`` from build_punet_plan;
     ``x_patch`` (b, g0*g0, cin_pad) f32 patchified input.
+    ``inv_scale`` (b,) optional: scales channel-0 lanes (lane % c_real == 0)
+    in-kernel — the input normalisation without an XLA full-field pass.
     Returns (b, g0*g0, head_real) f32 head output (pre depth_to_space)."""
     arrs, meta = plan
     b, n0, cin = x_patch.shape
@@ -371,14 +383,21 @@ def punet_forward_pallas(plan, x_patch, interpret: bool = False,
                             memory_space=pltpu.VMEM)
 
     args = [x_patch] + [jnp.asarray(a) for a in arrs]
+    in_specs = [bspec(a) for a in args]
+    if inv_scale is not None:
+        assert c_real > 0
+        args.insert(1, inv_scale.reshape(b, 1).astype(F32))
+        in_specs.insert(1, pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.SMEM))
     kernel = partial(_punet_kernel, layers=meta["layers"], g0=meta["g0"],
-                     head_real=head_real, cdt=jnp.dtype(compute_dtype))
+                     head_real=head_real, cdt=jnp.dtype(compute_dtype),
+                     c_real=c_real if inv_scale is not None else 0)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n0, head_real), F32),
         grid_spec=pl.GridSpec(
             grid=(b,),
-            in_specs=[bspec(a) for a in args],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, n0, head_real),
                                    lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -400,10 +419,12 @@ def make_punet_apply(cfg, punet_params, h: int, w: int,
 
     ``cfg`` is a ModelConfig (punet_* fields), ``punet_params`` the flax
     param subtree (``params["params"]["PUNet_0"]``). Returns
-    ``fwd(x_nhwc) -> (b, h, w, 1) f32`` — patchify and the final
-    depth_to_space run in XLA (~10 us), everything between in one
-    pallas_call. Requires ``cfg.punet_refine_convs == 0`` (the shipped
-    flagship; the refinement stack is full-resolution XLA territory).
+    ``fwd(x_nhwc, inv_scale=None) -> (b, h, w, 1) f32`` — patchify and the
+    final depth_to_space run in XLA, everything between in one
+    pallas_call; ``inv_scale`` (b,) optionally normalises the first input
+    channel in-kernel. Requires ``cfg.punet_refine_convs == 0`` (the
+    shipped flagship; the refinement stack is full-resolution XLA
+    territory).
     """
     assert cfg.punet_refine_convs == 0, (
         "fused PUNet forward covers the refine_convs=0 architecture")
@@ -413,15 +434,17 @@ def make_punet_apply(cfg, punet_params, h: int, w: int,
     patch = cfg.punet_patch
     g0 = h // patch
     cin_real = np.asarray(punet_params["embed"]["kernel"]).shape[-2]
+    n_chan = cin_real // (patch * patch)   # physical channels pre-patchify
     cin_pad = _cpad(cin_real)
 
-    def fwd(x):
+    def fwd(x, inv_scale=None):
         b = x.shape[0]
         xp = space_to_depth(x.astype(F32), patch)      # (b, g0, g0, cin)
         xp = xp.reshape(b, g0 * g0, cin_real)
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, cin_pad - cin_real)))
         y = punet_forward_pallas(plan, xp, interpret=interpret,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 inv_scale=inv_scale, c_real=n_chan)
         y = y.reshape(b, g0, g0, patch * patch)
         return depth_to_space(y, patch)                # (b, h, w, 1)
 

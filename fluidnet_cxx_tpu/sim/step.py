@@ -246,6 +246,21 @@ def simulate_step(
     if output_div:
         return state._replace(U=U, density=rho)
 
+    if (cfg.sim_method == "convnet"
+            and getattr(project_fn, "handles_const_vals", False)
+            and state.flags_stick is None):
+        # Inlet-folded learned projection (VERDICT r4 item 2): the fused
+        # tail applies U's const BCs in-kernel on its input AND output, so
+        # the two apply_const_vals XLA passes around the projection (74 us
+        # of the 512^2 convnet step, proj_breakdown_r5 artifact) vanish.
+        # Semantics are unchanged: _wall_bcs is a no-op in convnet mode
+        # without flags_stick, and rho's const BCs are idempotent (rho is
+        # untouched since their post-advection application: the inv_mask
+        # is 0/1 so (rho*i + b)*i + b == rho*i + b).
+        p, U = project_fn(p, U, flags, rho, U_bc=state.U_bc,
+                          U_bc_inv_mask=state.U_bc_inv_mask)
+        return state._replace(p=p, U=U, density=rho)
+
     U = _wall_bcs(cfg, state, U)
     U, rho = apply_const_vals(state, U, rho)
 

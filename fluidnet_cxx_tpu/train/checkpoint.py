@@ -74,16 +74,26 @@ def load_train_checkpoint(model_dir: str, template, best: bool = False):
         "epoch": jnp.zeros(()),
         "best_perf": jnp.zeros(()),
     }
-    restore_args = ocp.checkpoint_utils.construct_restore_args(payload)
+    # Restore HOST-side (numpy template), then device_put in one pass.
+    # Restoring straight onto the device lets orbax's thread pool issue
+    # concurrent transfers through the axon tunnel, which wedges
+    # indefinitely (observed 2026-08-19: two 20-min hangs inside
+    # ck.restore at 512^2); a host restore + single device_put is
+    # functionally identical and tunnel-safe.
+    import jax
+
+    host_payload = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, payload)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(host_payload)
     restored = ck.restore(
         os.path.join(os.path.abspath(model_dir), name),
-        item=payload,
+        item=host_payload,
         restore_args=restore_args,
     )
     ts = TrainState(
-        params=restored["params"],
-        opt_state=restored["opt_state"],
-        step=restored["step"],
+        params=jax.device_put(restored["params"]),
+        opt_state=jax.device_put(restored["opt_state"]),
+        step=jax.device_put(restored["step"]),
     )
     return ts, int(restored["epoch"]), float(restored["best_perf"])
 

@@ -82,10 +82,13 @@ def main():
     mcfg = load_model_config(args.modelDir)
     mcfg = dataclasses.replace(mcfg, polish_impl="fused")
     model = FluidNet(mcfg)
+    print("building template state ...", flush=True)
     template = init_train_state(model, jax.random.PRNGKey(0), TrainConfig(),
                                 res, res)
+    print("restoring checkpoint ...", flush=True)
     ts, _, _ = load_train_checkpoint(args.modelDir, template, best=True)
     params = ts.params
+    print("checkpoint loaded", flush=True)
 
     flags = empty_domain(1, res, res)
     key = jax.random.PRNGKey(1)

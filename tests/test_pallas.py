@@ -933,3 +933,70 @@ def test_project_fn3_fused_forward_matches_flax(rng, monkeypatch):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(U_got), np.asarray(U_want),
                                atol=2e-4)
+
+
+def test_step_inlet_folded_projection_matches_unfused(rng, monkeypatch):
+    """The inlet-folded convnet step (const BCs applied inside the fused
+    tail, scale inside the kernels — VERDICT r4 item 2) == the reference
+    composition (apply_const_vals -> project -> apply_const_vals) on a
+    plume scene with live inlet masks, interpret mode."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    from fluidnet_cxx_tpu.config import ModelConfig
+    from fluidnet_cxx_tpu.models import (
+        FluidNet,
+        init_params,
+        make_project_fn,
+        make_project_fn_fused_forward,
+    )
+    from fluidnet_cxx_tpu.sim import (
+        create_plume_scene,
+        plume_config,
+        simulate_step,
+    )
+
+    cfg_m = ModelConfig(
+        model="PUNet", punet_patch=8, punet_widths=(96, 128),
+        punet_level_convs=1, punet_bottleneck_convs=2,
+        punet_refine_convs=0, polish_sweeps=4, polish_impl="fused",
+        compute_dtype="float32",
+    )
+    res = 128
+    model = FluidNet(cfg_m)
+    params = init_params(model, jax.random.PRNGKey(0), res, res)
+
+    state = create_plume_scene(res, res, density_val=0.1, u_scale=2.0,
+                               rad=0.145)
+    assert state.U_bc is not None  # the test needs live inlet masks
+    cfg = plume_config(sim_method="convnet", use_pallas=False,
+                       line_trace=False)
+
+    # a few warmup steps so fields are non-trivial
+    import dataclasses
+
+    proj_ref = make_project_fn(model, params)
+    for _ in range(3):
+        state = simulate_step(cfg, state, project_fn=proj_ref)
+
+    want = simulate_step(cfg, state, project_fn=proj_ref)
+
+    proj_fused = make_project_fn_fused_forward(
+        model, params, res, res, compute_dtype=jnp.float32)
+    assert proj_fused.handles_const_vals
+    got = simulate_step(cfg, state, project_fn=proj_fused)
+
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(want.U),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.density),
+                               np.asarray(want.density), atol=2e-4)
