@@ -54,6 +54,13 @@ class SimConfig:
     # cap at the measured-stable 3 until the cycle defect is fixed
     # (VERDICT r4 item 3 / ADVICE r4 medium). 0 = uncapped.
     mg_max_levels3: int = 3
+    # 3-D post-smoothing sweeps. The deepest prolongation injects a
+    # corner-localized kink (live-corner of the coarsest level); 3-D damped
+    # Jacobi removes only (5/7)/sweep of it vs 2-D's (3/5), so the 2-D
+    # default of 4 post sweeps leaves the closed-loop gain > 1 at depth 4
+    # (mg3_mode_r5 / mg3_fix probes: post=8 stable, coarse_iters x3 and
+    # extend-pass changes do nothing). 8 sweeps -> (5/7)^8 ~ 0.07, stable.
+    mg_post3: int = 8
     # Sampling engine: 'window' (bounded-window shifts, the TPU fast path,
     # exact for CFL <= max_disp) or 'gather' (arbitrary displacement).
     advection_impl: str = "window"

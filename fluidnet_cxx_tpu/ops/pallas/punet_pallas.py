@@ -279,29 +279,29 @@ def _punet_kernel(*refs, layers, g0, head_real, cdt=BF16, c_real=0):
         elif kind == "c3":
             # Shift decomposition: the two x-shifts (sublane-MISALIGNED row
             # rotations, the expensive copies) happen once per conv with the
-            # x-mask folded in; each tap then needs only a y-shift — a row
-            # rotation by ky*side*dil, sublane-ALIGNED whenever side*dil is
-            # a multiple of 8 (cheap vreg moves) — and a contiguous-block
-            # y-mask. 2 misaligned copies per conv instead of 9.
+            # x-mask folded in; the three shifted copies then CONCAT on the
+            # lane axis (128-aligned), so each ky needs one aligned rotation
+            # of the 3-wide block and ONE matmul with K = 3*ci against the
+            # (ky-major, kx-inner) weight rows — 3 matmuls + 3 accumulator
+            # passes per conv instead of 9 (r5: fewer MXU invocations and
+            # f32 accumulator read-modify-writes; weight layout unchanged).
             side, dil = m["side"], m["dil"]
             n = side * side
             ci = ws[0].shape[0] // 9
-            xs = {}
+            xs = []
             for kx in (-1, 0, 1):
                 sh = _rot(x, kx * dil)
                 if kx:
                     sh = sh * _mask_x(side, kx * dil, n, cdt)
-                xs[kx] = sh
+                xs.append(sh)
+            xcat = jnp.concatenate(xs, axis=1)       # (n, 3*ci)
             y = jnp.zeros((n, ws[0].shape[1]), F32)
-            t = 0
-            for ky in (-1, 0, 1):
-                for kx in (-1, 0, 1):
-                    wt = ws[0][t * ci:(t + 1) * ci].astype(cdt)
-                    t += 1
-                    sh = _rot(xs[kx], ky * side * dil)
-                    if ky:
-                        sh = sh * _mask_y(n, ky * side * dil, n, cdt)
-                    y = y + _mm(sh, wt)
+            for t_ky, ky in enumerate((-1, 0, 1)):
+                wt = ws[0][t_ky * 3 * ci:(t_ky + 1) * 3 * ci].astype(cdt)
+                sh = _rot(xcat, ky * side * dil)
+                if ky:
+                    sh = sh * _mask_y(n, ky * side * dil, n, cdt)
+                y = y + _mm(sh, wt)
             y = y + bias
         elif kind == "down":
             side = m["side"]

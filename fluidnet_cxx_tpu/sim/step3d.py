@@ -224,11 +224,15 @@ def simulate_step3(
 
         div = ops3d.velocity_divergence3(U, flags)
         p = solve_mg3(flags, div, n_vcycles=cfg.mg_vcycles, pre=cfg.mg_pre,
-                      post=cfg.mg_post, coarse_iters=cfg.mg_coarse_iters,
+                      # post3 default 8: the deepest prolongation's corner
+                      # kink needs (5/7)^post < ~0.1 to stay subcritical in
+                      # the closed loop (mg3_fix probe, r5)
+                      post=cfg.mg_post3, coarse_iters=cfg.mg_coarse_iters,
                       p0=p if (cfg.mg_warm_start and cfg.mg_vcycles >= 2)
                       else None,  # single warm V-cycle is unstable, see 2-D
                       # >=4-level closed loops diverge (mg3_probe_r4.log) —
-                      # depth-capped until the cycle defect is fixed
+                      # depth-capped until the post3=8 cycle is verified
+                      # convergent at 128^3 on-chip
                       max_levels=cfg.mg_max_levels3)
         U = ops3d.velocity_update3(p, U, flags)
     else:

@@ -140,10 +140,11 @@ def test_levels3_depth_cap():
 
 
 def test_mg3_closed_loop_stable_64(monkeypatch):
-    """Closed-loop 3-D multigrid time-stepping at 64^3 (the smallest shape
-    whose uncapped hierarchy reaches the diverging >=4-level regime) stays
-    bounded with the default depth cap. Opt-in: ~minutes on the 1-core CPU
-    box; set RUN_BIG_MG3_TEST=1."""
+    """Closed-loop 3-D multigrid time-stepping at 64^3, UNCAPPED depth (the
+    >=4-level regime that diverged before the post3=8 fix: the deepest
+    prolongation's corner kink needed (5/7)^post < ~0.1 — mg3_fix probe).
+    Stays bounded with the default mg_post3. Opt-in: ~minutes on the 1-core
+    CPU box; set RUN_BIG_MG3_TEST=1."""
     import os
 
     import pytest
@@ -161,7 +162,8 @@ def test_mg3_closed_loop_stable_64(monkeypatch):
                        gravity_vec=(0.0, -1.0, 0.0), max_disp=1,
                        advection_impl="window", use_pallas=False,
                        sim_method="multigrid", mg_vcycles=2,
-                       mg_warm_start=False, line_trace=False)
+                       mg_warm_start=False, line_trace=False,
+                       mg_max_levels3=0)  # uncapped: 4 levels at 64^3
     step = jax.jit(lambda s: simulate_step3(cfg, s))
     for _ in range(30):
         state = step(state)
