@@ -98,6 +98,39 @@ def main():
                                       dict(jacobi_iter=100), rollout=300,
                                       n_time=100, reps=2, engine="jacobi")
 
+    # -- 2b. 128^2 (VERDICT r4 item 7): damped-sweep polish vs a 1-V-cycle
+    # multigrid polish. The flagship's 128^2 max|div| (0.0202) is 2.8x
+    # Jacobi-100's; the hypothesis is patch-seam modes the damped sweeps
+    # can't kill but one V-cycle can (mg-2v reaches 0.0047 there).
+    def build128(sweeps, impl):
+        mcfg = dataclasses.replace(base_cfg, polish_impl=impl,
+                                   polish_sweeps=sweeps)
+        model = FluidNet(mcfg)
+        template = init_train_state(model, jax.random.PRNGKey(0),
+                                    TrainConfig(), 128, 128)
+        ts, _, _ = load_train_checkpoint(model_dir, template, best=True)
+        return make_project_fn_fused_forward(model, ts.params, 128, 128)
+
+    for name, sweeps, impl in (("fused32", 32, "fused"),
+                               ("fused64", 64, "fused"),
+                               ("mg1v", 32, "mg")):
+        try:
+            pj = build128(sweeps, impl)
+            rec = bench.run_case(f"cnn128-{name}", 128,
+                                 dict(sim_method="convnet"), project=pj,
+                                 rollout=400, n_time=1000, reps=3,
+                                 engine=f"v2-{name}")
+            out[f"cnn128_{name}"] = rec
+        except Exception as e:  # noqa: BLE001 — one row must not kill all
+            print(f"128^2 {name} failed: {e}", flush=True)
+            out[f"cnn128_{name}"] = {"error": str(e)[:200]}
+    out["jacobi100_128"] = bench.run_case(
+        "jacobi-100", 128, dict(jacobi_iter=100), rollout=400,
+        n_time=1000, reps=3, engine="jacobi")
+    out["mg2_128"] = bench.run_case(
+        "mg-2v", 128, dict(sim_method="multigrid", mg_vcycles=2),
+        rollout=400, n_time=1000, reps=3, engine="mg")
+
     # -- 3. stride-8 patch-embed conv vs s2d transpose ---------------------
     x = jnp.zeros((1, res, res, 2), jnp.float32)
     kern = jnp.asarray(np.random.default_rng(0).standard_normal(
