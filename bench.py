@@ -74,6 +74,10 @@ def load_flagship(res):
         )
 
         base_cfg = load_model_config(MODEL_DIR)
+        sweeps_env = os.environ.get("BENCH_POLISH_SWEEPS")
+        if sweeps_env is not None:
+            base_cfg = dataclasses.replace(base_cfg,
+                                           polish_sweeps=int(sweeps_env))
 
         def build(polish_impl):
             mcfg = base_cfg
