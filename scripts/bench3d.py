@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--jacobiIter", type=int, default=60)
     ap.add_argument("--dt", type=float, default=0.25)
     ap.add_argument("--modelDir", default=None)
+    ap.add_argument("--polishSweeps", type=int, default=None,
+                    help="override the checkpoint's polish_sweeps (the "
+                         "fused tail makes sweeps ~cheap; more sweeps "
+                         "trade ~us for max|div|)")
     ap.add_argument("--fuseAdvection", action="store_true",
                     help="merged scalar+velocity Pallas kernel "
                          "(advect_all3_pallas)")
@@ -143,6 +147,9 @@ def main():
         import dataclasses
 
         mcfg = load_model_config(args.modelDir)
+        if args.polishSweeps is not None:
+            mcfg = dataclasses.replace(mcfg,
+                                       polish_sweeps=args.polishSweeps)
         if jax.default_backend() != "cpu" and mcfg.polish_sweeps > 0:
             # whole projection tail in one kernel (proj_tail3_pallas)
             mcfg = dataclasses.replace(mcfg, polish_impl="fused")
