@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--jacobiIter", type=int, default=60)
     ap.add_argument("--dt", type=float, default=0.25)
     ap.add_argument("--modelDir", default=None)
+    ap.add_argument("--onlyModel", action="store_true",
+                    help="skip the classical rows; run only the learned-"
+                         "projection case (fast quality-knob reruns)")
     ap.add_argument("--polishSweeps", type=int, default=None,
                     help="override the checkpoint's polish_sweeps (the "
                          "fused tail makes sweeps ~cheap; more sweeps "
@@ -108,6 +111,8 @@ def main():
         ("gather", dict(advection_impl="gather")),
     ]
     rows = []
+    if args.onlyModel:
+        cases = []
     for name, kw in cases:
         cfg = plume_config(
             dt=args.dt, jacobi_iter=args.jacobiIter,
