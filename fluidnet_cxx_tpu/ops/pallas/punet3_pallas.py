@@ -54,18 +54,6 @@ def _stack27(k, ci_pad, co_pad):
     return k.reshape(27 * ci_pad, co_pad)
 
 
-def _stack27_cat(k, c_real, pad, co_pad):
-    """Decoder-conv kernel (3,3,3,2*c_real,Co) -> (27*2*pad, co_pad); the
-    kernel-side concat is [x_pad | skip_pad] with real channels at lanes
-    [0,c_real) and [pad,pad+c_real)."""
-    co = k.shape[-1]
-    kk = np.asarray(k, np.float32).reshape(27, 2 * c_real, co)
-    out = np.zeros((27, 2 * pad, co_pad), np.float32)
-    out[:, :c_real, :co] = kk[:, :c_real]
-    out[:, pad:pad + c_real, :co] = kk[:, c_real:]
-    return out.reshape(27 * 2 * pad, co_pad)
-
-
 def _down_blocks3(k, ci_pad, co_pad):
     """flax stride-2 (3,3,3,Ci,Co) -> eight (8*ci_pad, co_pad) blocks for
     the dense 2x2x2 conv over the s2d(2) grid.
@@ -154,14 +142,23 @@ def build_punet3_plan(cfg, punet_params, d: int, h: int, w: int):
                 np.asarray(b, np.float32)[ph * wd:(ph + 1) * wd])
         emit("up", [kexp], bexp, side=side, c=pads[i])
         side *= 2
-        meta.append(dict(kind="concat_skip", lvl=i, n_w=0))
         for j in range(cfg.punet_level_convs):
             k, b = get(f"dec{i}_{j}")
             if j == 0:
-                kw = _stack27_cat(k, wd, pads[i], pads[i])
+                # The decoder's concat conv runs as TWO 27-tap convs summed
+                # (x-half + skip-half) instead of one conv over a 2x-wide
+                # lane concat: conv(cat[x,skip], W) == conv(x, W_x) +
+                # conv(skip, W_skip), and the concat + its rotated copies
+                # were the VMEM peak that rejected the 128^3 kernel on v5e
+                # (measured: scoped-allocation OOM, r5b stage C log).
+                kk = np.asarray(k, np.float32)        # (3,3,3, 2wd, co)
+                emit("c3cat",
+                     [_stack27(kk[..., :wd, :], pads[i], pads[i]),
+                      _stack27(kk[..., wd:, :], pads[i], pads[i])],
+                     _pad_b(b, pads[i]), side=side, lvl=i, relu=True)
             else:
-                kw = _stack27(k, pads[i], pads[i])
-            emit("c3", [kw], _pad_b(b, pads[i]), side=side, relu=True)
+                emit("c3", [_stack27(k, pads[i], pads[i])],
+                     _pad_b(b, pads[i]), side=side, relu=True)
 
     k, b = get("head")
     co = _cpad(patch ** 3)
@@ -216,35 +213,40 @@ def _punet3_kernel(*refs, layers, g0, head_real, cdt=BF16):
         if kind == "save_skip":
             skips[m["lvl"]] = x
             continue
-        if kind == "concat_skip":
-            x = jnp.concatenate([x, skips[m["lvl"]]], axis=1)
-            continue
         ws = [refs[widx + k][...] for k in range(m["n_w"])]
         bias = refs[widx + m["n_w"]][...]
         widx += m["n_w"] + 1
 
         if kind == "mm":
             y = _mm(x, ws[0].astype(cdt)) + bias
-        elif kind == "c3":
+        elif kind in ("c3", "c3cat"):
             # kx-major: ONE x-shifted copy (the sublane-misaligned rotate)
             # live at a time — at 128^3 the dec-level activations are
             # 16 MB+ and three concurrent copies would blow VMEM.
             side = m["side"]
             n = side ** 3
-            ci = ws[0].shape[0] // 27
+
+            def taps27(src, w27, y):
+                ci = w27.shape[0] // 27
+                for kx in (-1, 0, 1):
+                    xsh = _rot(src, kx)
+                    if kx:
+                        xsh = xsh * _mask_x3(side, kx, n, cdt)
+                    for kz in (-1, 0, 1):
+                        for ky in (-1, 0, 1):
+                            t = ((kz + 1) * 3 + (ky + 1)) * 3 + (kx + 1)
+                            wt = w27[t * ci:(t + 1) * ci].astype(cdt)
+                            sh = _rot(xsh, kz * side * side + ky * side)
+                            if kz or ky:
+                                sh = sh * _mask_zy3(side, kz, ky, n, cdt)
+                            y = y + _mm(sh, wt)
+                return y
+
             y = jnp.zeros((n, ws[0].shape[1]), F32)
-            for kx in (-1, 0, 1):
-                xsh = _rot(x, kx)
-                if kx:
-                    xsh = xsh * _mask_x3(side, kx, n, cdt)
-                for kz in (-1, 0, 1):
-                    for ky in (-1, 0, 1):
-                        t = ((kz + 1) * 3 + (ky + 1)) * 3 + (kx + 1)
-                        wt = ws[0][t * ci:(t + 1) * ci].astype(cdt)
-                        sh = _rot(xsh, kz * side * side + ky * side)
-                        if kz or ky:
-                            sh = sh * _mask_zy3(side, kz, ky, n, cdt)
-                        y = y + _mm(sh, wt)
+            y = taps27(x, ws[0], y)
+            if kind == "c3cat":
+                # decoder skip half: second 27-tap pass, same accumulator
+                y = taps27(skips[m["lvl"]], ws[1], y)
             y = y + bias
         elif kind == "down":
             side = m["side"]
@@ -365,7 +367,7 @@ def punet3_forward_pallas(plan, x_patch, interpret: bool = False,
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(9e10) * b, bytes_accessed=b * n0 * cin * 8,
