@@ -206,6 +206,23 @@ def _punet3_kernel(*refs, layers, g0, head_real, cdt=BF16):
     out_ref = refs[-1]
     widx = 1
     skips = {}
+    # Mask cache: identical (side, shift) iota-compare chains would
+    # otherwise be re-emitted for every tap of every conv — the unrolled
+    # 128^3 kernel's MLIR hit 15.6 MB and the remote Mosaic compile helper
+    # was killed (r5d log). Keyed per grid side; values are traced once.
+    _masks = {}
+
+    def mask_x(side, dx, n):
+        key = ("x", side, dx)
+        if key not in _masks:
+            _masks[key] = _mask_x3(side, dx, n, cdt)
+        return _masks[key]
+
+    def mask_zy(side, dz, dy, n):
+        key = ("zy", side, dz, dy)
+        if key not in _masks:
+            _masks[key] = _mask_zy3(side, dz, dy, n, cdt)
+        return _masks[key]
 
     for lay in layers:
         m = dict(lay)
@@ -231,14 +248,14 @@ def _punet3_kernel(*refs, layers, g0, head_real, cdt=BF16):
                 for kx in (-1, 0, 1):
                     xsh = _rot(src, kx)
                     if kx:
-                        xsh = xsh * _mask_x3(side, kx, n, cdt)
+                        xsh = xsh * mask_x(side, kx, n)
                     for kz in (-1, 0, 1):
                         for ky in (-1, 0, 1):
                             t = ((kz + 1) * 3 + (ky + 1)) * 3 + (kx + 1)
                             wt = w27[t * ci:(t + 1) * ci].astype(cdt)
                             sh = _rot(xsh, kz * side * side + ky * side)
                             if kz or ky:
-                                sh = sh * _mask_zy3(side, kz, ky, n, cdt)
+                                sh = sh * mask_zy(side, kz, ky, n)
                             y = y + _mm(sh, wt)
                 return y
 
