@@ -404,3 +404,71 @@ def make_mixed_train_step(
         return TrainState(params, opt_state, ts.step + 1), terms
 
     return step
+
+
+def collect_rollout_frames3(
+    sim_cfg: SimConfig,
+    state0,
+    n_frames: int,
+    stride: int = 4,
+    warmup: int = 40,
+):
+    """3-D twin of ``collect_rollout_frames``: roll the plume with the
+    classical (Jacobi) projection, collecting the PRE-projection divergent
+    velocities exactly as the convnet-mode 3-D step feeds the learned
+    projection. Motivated by the r5 localization probe: the 3-D learned
+    closed loop's |div| error concentrates at the inlet slab, a
+    distribution pure synthetic noise never shows the net
+    (docs/results/div3_localization_r5.log). Returns
+    (frames (n, 3, d, h, w), flags, inlet_mask (d, h, w) — True where the
+    divergence loss should count, i.e. outside the BC-clamped inlet)."""
+    import jax
+
+    from ..ops import ops3d
+    from ..sim.step3d import simulate_step3
+
+    def full_step(s):
+        return simulate_step3(sim_cfg, s)
+
+    def project(s_div):
+        U_in = s_div.U
+        if s_div.U_bc is not None:
+            U_in = U_in * s_div.U_bc_inv_mask + s_div.U_bc
+        # classical continuation (the jacobi-mode step tail)
+        U = ops3d.set_wall_bcs3(s_div.U, s_div.flags)
+        if s_div.U_bc is not None:
+            U = U * s_div.U_bc_inv_mask + s_div.U_bc
+        rhs = ops3d.velocity_divergence3(U, s_div.flags)
+        p = ops3d.solve_jacobi_fixed3(s_div.flags, rhs, sim_cfg.jacobi_iter)
+        U = ops3d.set_wall_bcs3(
+            ops3d.velocity_update3(p, U, s_div.flags), s_div.flags
+        )
+        if s_div.U_bc is not None:
+            U = U * s_div.U_bc_inv_mask + s_div.U_bc
+        return s_div._replace(p=p, U=U), U_in
+
+    @jax.jit
+    def collect(state):
+        state = jax.lax.fori_loop(0, warmup, lambda _, s: full_step(s),
+                                  state)
+
+        def body(s, _):
+            s_div = simulate_step3(sim_cfg, s, output_div=True)
+            s_next, U_in = project(s_div)
+            s_next = jax.lax.fori_loop(
+                0, stride - 1, lambda _, t: full_step(t), s_next
+            )
+            return s_next, U_in[0]
+
+        return jax.lax.scan(body, state, None, length=n_frames)[1]
+
+    frames = collect(state0)
+    if state0.U_bc_inv_mask is not None:
+        import jax.numpy as _jnp
+
+        mask = _jnp.min(state0.U_bc_inv_mask[0], axis=0) > 0.5
+    else:
+        import jax.numpy as _jnp
+
+        mask = _jnp.ones(state0.flags.shape[1:], bool)
+    return frames, state0.flags, mask

@@ -32,6 +32,14 @@ def main():
     ap.add_argument("--polishSweeps", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--patch", type=int, default=4)
+    ap.add_argument("--plumeFrames", type=int, default=0,
+                    help="collect N pre-projection 3-D plume rollout "
+                         "frames and mix them into training (the 2-D "
+                         "--plumeFrames recipe; the closed-loop error "
+                         "concentrates at the inlet, a distribution "
+                         "synthetic noise never shows the net)")
+    ap.add_argument("--synthFrac", type=float, default=0.5,
+                    help="fraction of synthetic samples when --plumeFrames")
     ap.add_argument("--modelDir", default="trained_models/PUNet3_32")
     args = ap.parse_args()
 
@@ -57,11 +65,39 @@ def main():
     opt = optax.adam(args.lr)
     ts = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
-    def loss_fn(params, batch):
+    frames = None
+    if args.plumeFrames:
+        from fluidnet_cxx_tpu.sim import plume_config
+        from fluidnet_cxx_tpu.sim.scenes3 import create_plume_scene3
+        from fluidnet_cxx_tpu.train.trainer import collect_rollout_frames3
+
+        print(f"collecting {args.plumeFrames} 3-D plume rollout frames "
+              f"at {r}^3...", flush=True)
+        roll_cfg = plume_config(
+            dt=0.25, jacobi_iter=200, buoyancy_scale=0.5,
+            gravity_vec=(0.0, -1.0, 0.0), line_trace=False, max_disp=2,
+            advection_impl="window",
+            use_pallas=jax.default_backend() != "cpu",
+        )
+        scene = create_plume_scene3(r, r, r, density_val=0.1,
+                                    u_scale=0.6 * r / 64.0)
+        frames, frame_flags, frame_mask = collect_rollout_frames3(
+            roll_cfg, scene, args.plumeFrames, stride=4, warmup=40,
+        )
+        frames = jax.block_until_ready(frames)
+        print(f"frames ready: {frames.shape}", flush=True)
+        frame_maskf = frame_mask.astype(jnp.float32)[None]
+
+    def loss_fn(params, batch, mask=None):
         U_div, flags, p_t, U_t = batch
         zero = jnp.zeros_like(p_t)
         _, U_out = model.apply(params, zero, U_div, flags, zero)
         div = ops3d.velocity_divergence3(U_out, flags)
+        if mask is not None:
+            # exclude the inlet's BC-clamped cells: the step re-imposes
+            # them post-projection; penalising their divergence teaches
+            # jet suppression (the 2-D --plumeFrames lesson)
+            return jnp.sum(div * div * mask) / jnp.sum(mask) / div.shape[0]
         return jnp.mean(div * div)
 
     CHUNK = 5
@@ -69,8 +105,25 @@ def main():
     @partial(jax.jit, donate_argnums=0)
     def step(ts, key):
         def body(ts, k):
-            batch = generate_batch3(k, args.bsz, r, r, r, args.labelIters)
-            loss, grads = jax.value_and_grad(loss_fn)(ts.params, batch)
+            k1, k2 = jax.random.split(k)
+            batch = generate_batch3(k1, args.bsz, r, r, r, args.labelIters)
+            if frames is None:
+                loss, grads = jax.value_and_grad(loss_fn)(ts.params, batch)
+            else:
+                def mixed_loss(params):
+                    l_syn = loss_fn(params, batch)
+                    idx = jax.random.randint(k2, (args.bsz,), 0,
+                                             frames.shape[0])
+                    U_f = jnp.take(frames, idx, axis=0)
+                    fb = (U_f, jnp.broadcast_to(
+                        frame_flags, (args.bsz,) + frame_flags.shape[1:]),
+                        jnp.zeros((args.bsz,) + frame_flags.shape[1:],
+                                  jnp.float32), None)
+                    l_fr = loss_fn(params, fb, mask=frame_maskf)
+                    f = args.synthFrac
+                    return f * l_syn + (1.0 - f) * l_fr
+
+                loss, grads = jax.value_and_grad(mixed_loss)(ts.params)
             updates, opt_state = opt.update(grads, ts.opt_state, ts.params)
             params = optax.apply_updates(ts.params, updates)
             return TrainState(params, opt_state, ts.step + 1), loss
