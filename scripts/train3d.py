@@ -102,19 +102,24 @@ def main():
 
     CHUNK = 5
 
+    # frames is passed as a jit ARGUMENT, not captured: a closure-captured
+    # 300 MB device array becomes an HLO constant the remote compile
+    # helper has to swallow (observed: the mixed step never finished
+    # compiling); as an argument it stays a runtime buffer (the 2-D
+    # make_mixed_train_step does the same via its `extra` args).
     @partial(jax.jit, donate_argnums=0)
-    def step(ts, key):
+    def step(ts, key, frames_arg=None):
         def body(ts, k):
             k1, k2 = jax.random.split(k)
             batch = generate_batch3(k1, args.bsz, r, r, r, args.labelIters)
-            if frames is None:
+            if frames_arg is None:
                 loss, grads = jax.value_and_grad(loss_fn)(ts.params, batch)
             else:
                 def mixed_loss(params):
                     l_syn = loss_fn(params, batch)
                     idx = jax.random.randint(k2, (args.bsz,), 0,
-                                             frames.shape[0])
-                    U_f = jnp.take(frames, idx, axis=0)
+                                             frames_arg.shape[0])
+                    U_f = jnp.take(frames_arg, idx, axis=0)
                     fb = (U_f, jnp.broadcast_to(
                         frame_flags, (args.bsz,) + frame_flags.shape[1:]),
                         jnp.zeros((args.bsz,) + frame_flags.shape[1:],
@@ -136,7 +141,8 @@ def main():
     os.makedirs(args.modelDir, exist_ok=True)
     for i in range(CHUNK, args.steps + 1, CHUNK):
         key, sub = jax.random.split(key)
-        ts, losses = step(ts, sub)
+        ts, losses = (step(ts, sub) if frames is None
+                      else step(ts, sub, frames))
         if i % 50 == 0 or i >= args.steps:
             loss = float(np.mean(np.asarray(losses)))
             is_best = loss < best
