@@ -240,3 +240,33 @@ def test_collect_rollout_frames_and_mixed_step():
         0.0,
     )
     assert moved > 0
+
+
+def test_collect_rollout_frames3_shapes_and_mask():
+    """3-D rollout collector (r5): pre-projection frames at the plume's
+    convnet-input distribution, with the inlet's BC-clamped cells excluded
+    from the returned divergence-loss mask."""
+    import jax
+    import numpy as np
+
+    from fluidnet_cxx_tpu.sim import plume_config
+    from fluidnet_cxx_tpu.sim.scenes3 import create_plume_scene3
+    from fluidnet_cxx_tpu.train.trainer import collect_rollout_frames3
+
+    n = 16
+    cfg = plume_config(dt=0.25, jacobi_iter=10, buoyancy_scale=0.5,
+                       gravity_vec=(0.0, -1.0, 0.0), line_trace=False,
+                       max_disp=1, advection_impl="window",
+                       use_pallas=False)
+    scene = create_plume_scene3(n, n, n, density_val=0.1, u_scale=0.3)
+    frames, flags, mask = collect_rollout_frames3(cfg, scene, 3, stride=2,
+                                                  warmup=4)
+    frames = np.asarray(jax.block_until_ready(frames))
+    assert frames.shape == (3, 3, n, n, n)
+    assert np.isfinite(frames).all()
+    assert frames.std() > 0  # rolled, not zeros
+    mask = np.asarray(mask)
+    assert mask.shape == (n, n, n)
+    # the inlet's clamped cells must be excluded (scene has a live inlet)
+    assert scene.U_bc is not None
+    assert (~mask).sum() > 0 and mask.sum() > 0
